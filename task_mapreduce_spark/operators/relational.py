@@ -1,0 +1,329 @@
+"""Core relational surface (SURVEY.md §2.1, §2.2, §2.6, §2.7) + flagship.
+
+MapReduce heritage: ``map`` ≙ project/filter, ``reduce`` ≙ groupBy-agg,
+"distributed grep" ≙ filter_like_regex, "distributed sort" ≙
+sort_global (Dean & Ghemawat §2.3).  Everything here is a declarative
+DataFrame plan — Catalyst does predicate pushdown, column pruning and
+(for orderBy) range-partitioned sort; nothing runs driver-side.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from task_mapreduce_spark.functions.exact import (
+    davg,
+    dsum,
+    dsum_prod,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_prod,
+)
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary.
+# scan → filter (pushed to parquet) → hash-agg with partial aggregation
+# (the MapReduce combine, done automatically map-side) → small sort.
+# Scale note: group-by cardinality is 6 (returnflag × linestatus), so the
+# shuffle moves only per-partition partials — this is the ideal 100 TB
+# aggregation shape.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum_prod('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum_prod('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1", oracle=_Q1_ORACLE)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_prod(disc_price).alias("sum_disc_price"),
+            dsum_prod(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@register("scan_parquet", oracle="SELECT * FROM nation")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain columnar scan; projection/predicates push to the parquet reader."""
+    return load(spark, sf_dir, "nation")
+
+
+@register(
+    "scan_csv_json",
+    oracle="SELECT * FROM region UNION ALL SELECT * FROM region",
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format ingest with explicit schemas (never inferred in prod:
+    schema inference is a full extra pass over 100 TB)."""
+    region = load(spark, sf_dir, "region")
+    tmp = tempfile.mkdtemp(prefix="tmrs_scan_")
+    csv_path, json_path = f"{tmp}/csv", f"{tmp}/json"
+    region.write.mode("overwrite").option("header", True).csv(csv_path)
+    region.write.mode("overwrite").json(json_path)
+    schema = "r_regionkey INT, r_name STRING"
+    csv_df = spark.read.schema(schema).option("header", True).csv(csv_path)
+    json_df = spark.read.schema(schema).json(json_path)
+    return csv_df.unionByName(json_df)
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → read-back roundtrip. In production the write would be
+    partitioned by a date column (`partitionBy`) for partition pruning."""
+    orders = load(spark, sf_dir, "orders")
+    out = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total")
+    )
+    tmp = tempfile.mkdtemp(prefix="tmrs_sink_")
+    out.write.mode("overwrite").parquet(f"{tmp}/agg")
+    return spark.read.parquet(f"{tmp}/agg")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project_rename_cast",
+    oracle="""
+    SELECT
+      l_orderkey AS order_key,
+      CAST(l_linenumber AS BIGINT) AS line_no,
+      CAST(l_shipdate AS DATE) AS ship_date,
+      CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+      l_returnflag || '-' || l_linestatus AS flag_status
+    FROM lineitem
+    """,
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").cast("bigint").alias("line_no"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND NOT (o_orderpriority = '5-LOW')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates stay Column expressions so they push down to
+    the parquet row-group stats (`PushedFilters` in .explain)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(1000, 200000)
+        & ~(F.col("o_orderpriority") == "5-LOW")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_like_regex",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE text LIKE '%fast%' AND regexp_matches(text, 'agg (row|scan)')
+    """,
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (Dean & Ghemawat §2.3) as a declarative filter."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").like("%fast%") & F.col("text").rlike("agg (row|scan)")
+    ).select("doc_id", "source")
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct ≙ MapReduce identity-reduce; Spark plans it as a hash
+    aggregate with map-side partials, so the shuffle carries unique keys
+    only — exactly what you want at 100 TB."""
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order ≙ MR distributed sort (TeraSort).
+
+    The global rank is materialized WITHOUT a single-partition window
+    (which would funnel the whole table through one task): range-
+    partition on the sort key, sort within partitions, then add
+    per-partition row-count offsets (a tiny metadata aggregate,
+    broadcast back).  Both passes are fully parallel, so this holds at
+    any scale; ties are broken by the unique key so the rank is
+    deterministic."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    # cache: range-partitioning samples its boundaries per-run, so the
+    # counts pass and the final pass must see the SAME partitioning.
+    parts = (
+        o.repartitionByRange(16, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = parts.groupBy("pid").count().orderBy("pid").collect()  # ~16 rows of metadata
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(off)) for p, off in offsets.items()], "pid INT, off BIGINT"
+    )
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    return (
+        parts.join(F.broadcast(off_df), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.row_number().over(w) + F.col("off")).cast("long").alias("rn"),
+        )
+    )
+
+
+@register(
+    "topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: planned as TakeOrderedAndProject — each partition
+    keeps its local top-100, only k×partitions rows reach the driver
+    stage. O(k) memory at any scale; the unique-key tiebreak makes the
+    result set deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@register(
+    "sort_within_partitions",
+    oracle="SELECT user_id, event_id, ts FROM events",
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR secondary-sort idiom: partition by key, sort within partition —
+    no global shuffle-sort. Content equals the plain projection (oracle);
+    the per-partition layout is asserted in tests/test_layout.py."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.repartition(8, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'only_customer' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    both = c.intersect(o).select(F.lit("both").alias("tag"), "c_custkey")
+    only = c.exceptAll(o).distinct().select(
+        F.lit("only_customer").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
