@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark every registered operator at $SPARK_GRAFT_SF_DIR.
+
+Each query is fully materialized through the `noop` sink (forces the
+complete physical plan — unlike count(), which lets Catalyst prune the
+projection).  Prints exactly ONE JSON line:
+
+    {"metric": "total_wall", "value": <sum>, "unit": "sec",
+     "queries": {<key>: <sec>, ...}, "sf": <sf>}
+
+Warm-up: the first query pays JVM/session start-up; we run the
+flagship once untimed first so per-key numbers reflect plan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from task_mapreduce_spark.session import get_spark  # noqa: E402
+from task_mapreduce_spark.registry import QUERIES  # noqa: E402
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("tmrs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    _materialize(QUERIES["tpch_q1"](spark, sf_dir))  # warm-up, untimed
+
+    timings: dict[str, float] = {}
+    for key in sorted(QUERIES):
+        t0 = time.time()
+        try:
+            _materialize(QUERIES[key](spark, sf_dir))
+            timings[key] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"BENCH ERROR {key}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            timings[key] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,6 +45,28 @@ def dsum_prod(c: Column, dec: str = PROD_DEC) -> Column:
     return F.sum(c.cast(dec)).cast("double")
 
 
+def dsum_exact(c: Column) -> Column:
+    """Exact sum of an (already-decimal) product expression → double.
+
+    Two portability traps this dodges (both hit at sf0.1 in round 1/2):
+
+    1. ``decimal → double`` is only bit-portable if the unscaled integer
+       fits in a 53-bit mantissa — DuckDB converts via
+       ``(double)int128 / (double)10^scale`` and the first step rounds.
+       So we requantize to scale 4 first (sums ≲ 10^11 then fit).
+    2. ``decimal → decimal`` downscale: Spark rounds HALF_UP, DuckDB
+       *truncates*.  The SQL twin must therefore use an explicit
+       ``ROUND(sum, 4)`` (half-away-from-zero == HALF_UP for positives),
+       mirrored by :func:`sql_dsum_exact`.
+    """
+    return F.sum(c).cast("decimal(24,4)").cast("double")
+
+
+def sql_dsum_exact(expr: str) -> str:
+    """DuckDB twin of :func:`dsum_exact` — see its docstring."""
+    return f"CAST(ROUND(SUM({expr}), 4) AS DOUBLE)"
+
+
 def davg(c: Column | str, dec: str = AVG_DEC) -> Column:
     """avg = exact-decimal sum (as double) / count — deterministic IEEE division."""
     return (F.sum(_col(c).cast(dec)).cast("double") / F.count(F.lit(1))).alias("avg")

@@ -9,6 +9,7 @@ DataFrame plan — Catalyst does predicate pushdown, column pruning and
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,13 +19,21 @@ from pyspark.sql.window import Window
 from task_mapreduce_spark.functions.exact import (
     davg,
     dsum,
-    dsum_prod,
+    dsum_exact,
     sql_davg,
     sql_dsum,
-    sql_dsum_prod,
+    sql_dsum_exact,
 )
 from task_mapreduce_spark.registry import register
 from task_mapreduce_spark.tables import load
+
+
+def _work_dir(tag: str) -> str:
+    """Fixed per-process scratch dir (reused across invocations so
+    repeated parity sweeps don't leak a new /tmp dir per call)."""
+    d = os.path.join(tempfile.gettempdir(), f"tmrs_{tag}_{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    return d
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-shaped pricing summary.
@@ -35,14 +44,25 @@ from task_mapreduce_spark.tables import load
 # aggregation shape.
 # ---------------------------------------------------------------------------
 
+# The products are computed decimal×decimal (operands cast FIRST): a
+# double product differs between engines at the ulp level and rounds to
+# a different decimal, which broke the sf0.1 hash in round 1.  Decimal
+# arithmetic is exact, so both engines sum identical rationals and the
+# final cast-to-double is one deterministic conversion.
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE_SQL = f"{_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(6,4)))"
+
 _Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
   {sql_dsum('l_quantity')} AS sum_qty,
   {sql_dsum('l_extendedprice')} AS sum_base_price,
-  {sql_dsum_prod('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-  {sql_dsum_prod('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_dsum_exact(_DISC_PRICE_SQL)} AS sum_disc_price,
+  {sql_dsum_exact(_CHARGE_SQL)} AS sum_charge,
   {sql_davg('l_quantity')} AS avg_qty,
   {sql_davg('l_extendedprice')} AS avg_price,
   {sql_davg('l_discount')} AS avg_disc,
@@ -56,16 +76,18 @@ GROUP BY l_returnflag, l_linestatus
 @register("tpch_q1", oracle=_Q1_ORACLE)
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    one = F.lit(1).cast("decimal(5,4)")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(6,4)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(6,4)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum_prod(disc_price).alias("sum_disc_price"),
-            dsum_prod(charge).alias("sum_charge"),
+            dsum_exact(disc_price).alias("sum_disc_price"),
+            dsum_exact(charge).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -94,7 +116,7 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-format ingest with explicit schemas (never inferred in prod:
     schema inference is a full extra pass over 100 TB)."""
     region = load(spark, sf_dir, "region")
-    tmp = tempfile.mkdtemp(prefix="tmrs_scan_")
+    tmp = _work_dir("scan")
     csv_path, json_path = f"{tmp}/csv", f"{tmp}/json"
     region.write.mode("overwrite").option("header", True).csv(csv_path)
     region.write.mode("overwrite").json(json_path)
@@ -118,7 +140,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total")
     )
-    tmp = tempfile.mkdtemp(prefix="tmrs_sink_")
+    tmp = _work_dir("sink")
     out.write.mode("overwrite").parquet(f"{tmp}/agg")
     return spark.read.parquet(f"{tmp}/agg")
 
@@ -147,7 +169,10 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("bigint").alias("line_no"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
-        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+        # F.concat (not concat_ws): SQL `||` yields NULL on any NULL input
+        # and concat_ws silently skips NULLs — matching NULL propagation
+        # keeps oracle parity on nullable columns.
+        F.concat("l_returnflag", F.lit("-"), "l_linestatus").alias("flag_status"),
     )
 
 
@@ -219,30 +244,29 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total order ≙ MR distributed sort (TeraSort).
 
     The global rank is materialized WITHOUT a single-partition window
-    (which would funnel the whole table through one task): range-
-    partition on the sort key, sort within partitions, then add
-    per-partition row-count offsets (a tiny metadata aggregate,
-    broadcast back).  Both passes are fully parallel, so this holds at
-    any scale; ties are broken by the unique key so the rank is
-    deterministic."""
+    (which would funnel the whole table through one task).  The bucket
+    id is a *pure function of the row's value* (``width_bucket`` over
+    the min/max of the sort key), so — unlike range partitioning, which
+    re-samples boundaries per run — every pass over the data assigns
+    every row to the same bucket with no cache dependency: correctness
+    survives recomputation, eviction and 1000-way parallelism.  Pass 1
+    counts rows per bucket (metadata-sized collect); pass 2 computes a
+    per-bucket row_number and adds the broadcast bucket offset.  Ties
+    are broken by the unique key so the rank is deterministic."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
-    # cache: range-partitioning samples its boundaries per-run, so the
-    # counts pass and the final pass must see the SAME partitioning.
-    parts = (
-        o.repartitionByRange(16, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("pid", F.spark_partition_id())
-        .cache()
-    )
-    counts = parts.groupBy("pid").count().orderBy("pid").collect()  # ~16 rows of metadata
-    offsets, acc = {}, 0
-    for r in counts:
-        offsets[r["pid"]] = acc
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    n_buckets = 64  # at 100 TB: raise so each bucket fits an executor core
+    # width_bucket yields 1..n+1 (n+1 iff value == hi) — deterministic.
+    pid = F.width_bucket(F.col("o_totalprice"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    parts = o.withColumn("pid", pid)
+    counts = parts.groupBy("pid").count().collect()  # ≤ n+1 rows of metadata
+    offsets, acc = [], 0
+    # descending sort → highest bucket id ranks first
+    for r in sorted(counts, key=lambda r: -r["pid"]):
+        offsets.append((int(r["pid"]), acc))
         acc += r["count"]
-    off_df = spark.createDataFrame(
-        [(int(p), int(off)) for p, off in offsets.items()], "pid INT, off BIGINT"
-    )
+    off_df = spark.createDataFrame(offsets, "pid BIGINT, off BIGINT")
     w = Window.partitionBy("pid").orderBy(*order_cols)
     return (
         parts.join(F.broadcast(off_df), "pid")
@@ -281,7 +305,8 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MR secondary-sort idiom: partition by key, sort within partition —
     no global shuffle-sort. Content equals the plain projection (oracle);
-    the per-partition layout is asserted in tests/test_layout.py."""
+    tests/test_layout.py asserts the physical layout (key-disjoint
+    partitions, each sorted by (user_id, ts, event_id))."""
     e = load(spark, sf_dir, "events")
     return (
         e.repartition(8, "user_id")
@@ -323,7 +348,7 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     both = c.intersect(o).select(F.lit("both").alias("tag"), "c_custkey")
-    only = c.exceptAll(o).distinct().select(
-        F.lit("only_customer").alias("tag"), "c_custkey"
-    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll+distinct is NOT —
+    # a key on both sides with higher left multiplicity would survive it.
+    only = c.subtract(o).select(F.lit("only_customer").alias("tag"), "c_custkey")
     return both.unionByName(only)

@@ -78,6 +78,7 @@ def check_key(spark, con, key: str, sf_dir: str) -> list[str]:
     sql = ORACLES.get(key)
     spark_pdf = df.toPandas()
     if sql is None:
-        return [] if len(spark_pdf) >= 0 else [f"{key}: no rows"]
+        # rows-only keys must still produce data — zero rows is a failure
+        return [] if len(spark_pdf) > 0 else [f"{key}: rows-only check got 0 rows"]
     oracle_pdf = con.execute(sql).fetchdf()
     return compare_frames(spark_pdf, oracle_pdf, key)

@@ -14,11 +14,10 @@ def test_parity(spark, oracle, sf_dir, key):
     assert not errs, "\n".join(errs)
 
 
-def test_every_query_has_rows_or_schema(spark, sf_dir):
-    # every query must at least produce a stable schema
+def test_every_query_returns_rows(spark, sf_dir):
+    # every query must execute and produce at least one row at sf0.001
     for key, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        assert df.schema is not None, key
+        assert fn(spark, sf_dir).limit(1).count() == 1, f"{key}: returned 0 rows"
 
 
 def test_entry_smoke(spark):
