@@ -1,3 +1,4 @@
 """Operator modules; importing them populates the registry."""
 
+from task_mapreduce_spark.operators import aggregations  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401

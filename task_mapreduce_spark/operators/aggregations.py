@@ -1,0 +1,202 @@
+"""Aggregations (SURVEY.md §2.4) — the ``reduce`` of MapReduce.
+
+Word count / URL-access count (Dean & Ghemawat §2.3) generalize to
+``groupBy(k).agg(...)``; Spark plans every one of these as a hash
+aggregate with map-side partial aggregation (the MR combiner, applied
+automatically), so the shuffle carries one row per (partition, group) —
+the ideal 100 TB aggregation shape as long as group cardinality stays
+far below row count, which holds for every key below.
+
+Oracle-parity discipline (see functions/exact.py): double sums go
+through fixed-scale decimals; stddev/variance are computed from exact
+decimal moments with an explicit IEEE expression tree mirrored in the
+SQL twin, because the engines' built-in ``stddev`` implementations are
+free to merge partials in different orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from task_mapreduce_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+
+@register(
+    "agg_count_sum_avg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value,
+           {sql_davg('value')} AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-access-count shape: one hash-agg, 5 event types → the shuffle
+    moves ~5 rows per upstream partition regardless of input size."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value").alias("sum_value"),
+        davg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct: Spark expands to a two-phase aggregate (dedup on
+    (group, value) then count) — both phases map-side partial, no
+    single-point bottleneck at scale."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — the 100 TB path for distinct counts: fixed-size
+    (kilobytes) mergeable state per group instead of a shuffle of all
+    distinct values.  tests/test_aggregations.py bounds the estimate
+    against the exact count (rel_sd=0.02 → well within ±10%)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup = grouping sets {(f,s), (f), ()} in ONE pass: Spark expands
+    the input once per set but aggregates map-side before shuffling, so
+    cost is ~3 partial aggregates, not 3 jobs."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("gid"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = "SELECT user_id,\n" + ",\n".join(
+    f"  COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES
+) + "\nFROM events GROUP BY user_id"
+
+
+@register("agg_pivot", oracle=_PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values: without the list Spark runs an extra
+    distinct job just to discover the columns — never do that over
+    100 TB.  coalesce(…, 0) matches SQL COUNT(CASE…)'s 0-for-missing."""
+    e = load(spark, sf_dir, "events")
+    piv = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR's (k, list<v>) materialized (inverted-index shape).  The list
+    is sorted (collect order is nondeterministic under parallel merge)
+    and joined to a string so the value-hash is engine-portable."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_custkey")), ",").alias("custkeys"),
+        F.size(F.collect_set("c_mktsegment")).cast("bigint").alias("n_segments"),
+    )
+
+
+# Variance from exact decimal moments: s2, s1 are bit-identical across
+# engines (decimal sums), n is exact, and the remaining expression is a
+# fixed IEEE tree — identical operand values + identical operation order
+# = identical doubles.  Built-in stddev would NOT give this guarantee
+# (partial-merge order differs between engines and even between runs).
+_STATS_SQL_S1 = "CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)"
+_STATS_SQL_S2 = (
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)))"
+    " AS DOUBLE)"
+)
+
+_STATS_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ({_STATS_SQL_S2} - {_STATS_SQL_S1} * {_STATS_SQL_S1} / COUNT(*))
+         / (COUNT(*) - 1) AS var_qty,
+       sqrt(({_STATS_SQL_S2} - {_STATS_SQL_S1} * {_STATS_SQL_S1} / COUNT(*))
+         / (COUNT(*) - 1)) AS stddev_qty,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments + exact percentiles.  l_quantity is integral-valued, so
+    linear interpolation at quartiles is exact in IEEE double in both
+    engines (no formula-dependent ulp drift).  Exact percentile shuffles
+    the group's values; at 100 TB swap in approx_percentile (t-digest
+    sketch, mergeable fixed-size state) — same API shape."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s1 = F.sum(q.cast("decimal(24,4)")).cast("double")
+    s2 = F.sum(q.cast("decimal(12,4)") * q.cast("decimal(12,4)")).cast("double")
+    n = F.count(F.lit(1))
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        F.percentile(q, F.lit(0.25)).alias("p25"),
+        F.percentile(q, F.lit(0.50)).alias("p50"),
+        F.percentile(q, F.lit(0.75)).alias("p75"),
+    )
