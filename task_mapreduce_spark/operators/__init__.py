@@ -1,4 +1,5 @@
 """Operator modules; importing them populates the registry."""
 
 from task_mapreduce_spark.operators import aggregations  # noqa: F401
+from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401

@@ -1,0 +1,271 @@
+"""Joins (SURVEY.md §2.3).
+
+MapReduce heritage: the reduce-side join ("tag each input with its
+source, group by join key, cross the groups in reduce") maps to Spark's
+shuffled hash / sort-merge join; the map-side join against a small
+replicated table maps to ``F.broadcast``.  Everything here is
+declarative — Catalyst + AQE pick the physical strategy, and the code's
+only job is to not defeat them (explicit broadcast for dims that are
+always small, equi-keys present on every theta join so nothing ever
+plans as a full cartesian BNLJ).
+
+Scale notes per operator are inline; the common theme: each join below
+shuffles on its equi-key only, and the ones with a small side declare
+it, so every plan survives a 1000-executor / 100 TB scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from task_mapreduce_spark.functions.exact import dsum_exact, sql_dsum_exact
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (the MR reduce-side join): both sides shuffle on
+    the key, then hash/sort-merge per partition.  No driver involvement,
+    no broadcast — this is the shape for two BIG tables."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join: nation (25 rows) and region (5 rows) are replicated
+    to every executor, so the fact table never shuffles — at 100 TB this
+    turns two wide shuffles into zero."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_big
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+    FULL JOIN (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+      GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with genuinely unmatched rows on BOTH sides
+    (building-segment customers vs customers with big urgent orders).
+    Outer joins can't broadcast the preserved side; this plans as a
+    sort-merge join on the key — the scalable shape."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_custkey", "n_big"
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'has_big' AS tag, c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    UNION ALL
+    SELECT 'no_big' AS tag, c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence / absence via left_semi / left_anti: the probe side
+    streams, the build side carries KEYS ONLY (no payload duplication,
+    no row explosion) — strictly cheaper than inner join + distinct."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    cond = c.c_custkey == big.o_custkey
+    semi = c.join(big, cond, "left_semi").select(
+        F.lit("has_big").alias("tag"), "c_custkey"
+    )
+    anti = c.join(big, cond, "left_anti").select(
+        F.lit("no_big").alias("tag"), "c_custkey"
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT a.user_id, a.event_id AS a_event, b.event_id AS b_event,
+           a.ts AS a_ts, b.ts AS b_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range self-join (event pairs within 1 h per user).  The
+    equi-key ``user_id`` is in the condition, so Spark plans a shuffled
+    equi-join with the range as a residual filter — never a broadcast
+    nested-loop over the full cross.  At 100 TB, if one user's history
+    is still too big, bucket ``ts`` into interval-sized bins and join on
+    (user_id, bin ± 1) to cap the per-task pair count."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("a_event"),
+        F.col("b.event_id").alias("b_event"),
+        F.col("a.ts").alias("a_ts"),
+        F.col("b.ts").alias("b_ts"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+    FROM events e ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest order at-or-before each event) via the
+    union-and-carry-forward idiom: tag both inputs, union, ONE shuffle
+    on the key, ONE sort by (ts, order-first), then
+    ``last(..., ignorenulls)`` carries the most recent order key forward
+    to every event row.  Linear in input size, no per-key loop, no
+    Python — the canonical distributed as-of.
+
+    Orders are pre-deduped to one row per (custkey, orderdate) with a
+    MAX(orderkey) tie-break so both engines resolve equal-timestamp
+    matches identically."""
+    e = load(spark, sf_dir, "events")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    left = e.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+    )
+    # At equal ts the order row sorts first (is_order desc), matching the
+    # oracle's inclusive `e.ts >= o_orderdate`.
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").asc(), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        right.unionByName(left)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 0)
+        .select("event_id", F.col("k").alias("user_id"), "ts", "last_orderkey")
+    )
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name, {sql_dsum_exact(_REVENUE_SQL)} AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table join: revenue per nation for one region
+    and one order-year.  Dims (region, nation) broadcast; facts join
+    small→large so each shuffle carries the already-filtered row set;
+    the date/region filters sit on the scans where Catalyst pushes them
+    into the parquet readers."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(5,4)")
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        one - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .join(o, F.col("c_custkey") == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            dsum_exact(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
