@@ -3,3 +3,4 @@
 from task_mapreduce_spark.operators import aggregations  # noqa: F401
 from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401
+from task_mapreduce_spark.operators import scalars  # noqa: F401
