@@ -5,4 +5,5 @@ from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import llm_pipeline  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401
 from task_mapreduce_spark.operators import scalars  # noqa: F401
+from task_mapreduce_spark.operators import udfs  # noqa: F401
 from task_mapreduce_spark.operators import windows  # noqa: F401

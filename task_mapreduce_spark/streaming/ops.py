@@ -1,0 +1,317 @@
+"""Streaming (SURVEY.md §2.9) over the ``events`` table.
+
+Batch-first design: every windowed/stateful semantic gets a BATCH twin
+on the static table so the DuckDB oracle can value-check it — the same
+query shape Structured Streaming runs incrementally, because Spark's
+batch and streaming windowed aggregations share the same logical
+operators (``window``/``session_window`` group expressions).  The
+genuinely streaming path — ``readStream`` → micro-batch →
+``writeStream`` — is exercised by ``stream_source`` (availableNow
+trigger into a memory sink, returned as a normal DataFrame) and by
+tests/test_streaming.py for watermarked/stateful variants whose output
+depends on trigger timing.
+
+100 TB stance: all state here is keyed (event_type / user_id /
+window), so streaming state stores shard by key exactly like the batch
+shuffles; watermarks bound state size; nothing accumulates unbounded.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from task_mapreduce_spark.functions.exact import dsum, sql_dsum
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load, path_of
+
+_memory_sink_counter = itertools.count()
+
+
+@register("stream_source")  # rows-only: micro-batch execution, not SQL-visible
+def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source: ``readStream`` over the parquet
+    path, a stateless filter/projection, one availableNow micro-batch
+    into a memory sink, returned as a plain DataFrame.
+
+    In production the source would be a directory/Kafka topic and the
+    query would run continuously; availableNow gives exactly-once batch
+    semantics over whatever has landed — the standard backfill trigger.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(raw)
+        # FileStreamSource needs a DIRECTORY; glob-filter to the events
+        # table inside the sf dir (in production: a landing directory).
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    name = f"stream_source_sink_{os.getpid()}_{next(_memory_sink_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour windows per event type — ``F.window`` is the same
+    group expression the streaming planner runs incrementally; epoch-
+    aligned, so it equals date_trunc('hour') in the oracle."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP)
+             AS window_start,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1-hour windows every 15 minutes: each event lands in
+    exactly 4 windows whose starts are the slide-aligned grid points
+    (mirrored arithmetically in the oracle).  Cost scales with the
+    overlap factor, not with state: still a hash-agg."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity) via the NATIVE
+    ``session_window`` — the same operator the streaming planner uses
+    with state-store-backed merging.  The oracle rebuilds sessions with
+    the lag-gap-flag + running-sum idiom; Spark closes a session when
+    the next event is >= start+gap away, hence the oracle's
+    ``>= INTERVAL 30 MINUTE`` split and ``max(ts)+30min`` session end."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Deterministic pseudo-arrival order (Knuth multiplicative hash of the
+# event id) — the generator wrote events in ts order, so without a
+# synthetic shuffle nothing would ever be late and the watermark check
+# would be vacuous.
+_ARRIVAL = "(event_id * 2654435761) % 4294967296"
+
+
+@register(
+    "stream_watermark_late",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY {_ARRIVAL}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN ts < high_water - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN ts < high_water - INTERVAL 10 MINUTE
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM arr
+    GROUP BY event_type
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, value-checked: replay events in a
+    deterministic pseudo-arrival order, track the running max event time
+    (the watermark's high-water mark), and count events arriving more
+    than 10 minutes behind it — exactly what
+    ``withWatermark('ts', '10 minutes')`` would drop.  The true
+    streaming form runs in tests/test_streaming.py (timing-dependent,
+    rows-only).  Note the single unpartitioned window: fine here because
+    the high-water mark is a global scalar by definition (streaming
+    Spark tracks it on the driver); the heavy aggregation below it stays
+    keyed."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.orderBy(F.expr(_ARRIVAL))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.col("ts") < F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTES")
+    return (
+        e.withColumn("late", late)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("bigint").alias("n_late"),
+            F.sum(F.when(F.col("late"), 0).otherwise(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id over an at-least-once (duplicated)
+    stream: ``dropDuplicates`` on the key.  Safe to value-check because
+    replicas are bit-identical, so whichever copy survives, the values
+    match.  Streaming twin: ``dropDuplicatesWithinWatermark`` (state
+    bounded by the watermark) in tests/test_streaming.py."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    at_least_once = e.unionByName(e)
+    return at_least_once.dropDuplicates(["event_id"])
+
+
+_STREAK_SCHEMA = (
+    "user_id BIGINT, max_purchase_streak BIGINT, n_purchases BIGINT"
+)
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM ordered WHERE event_type = 'purchase'
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT u.user_id,
+           CAST(COALESCE(MAX(s.streak), 0) AS BIGINT) AS max_purchase_streak,
+           CAST(COALESCE(MAX(p.n_purchases), 0) AS BIGINT) AS n_purchases
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN streaks s ON u.user_id = s.user_id
+    LEFT JOIN (SELECT user_id, COUNT(*) AS n_purchases
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id) p ON u.user_id = p.user_id
+    GROUP BY u.user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key running state (purchase streak), the
+    ``applyInPandasWithState`` semantic, value-checked in batch form:
+    ``applyInPandas`` runs the identical state fold per user over Arrow
+    batches — one shuffle on the key, state is O(1) per user.  The
+    oracle proves the fold correct via the SQL gaps-and-islands
+    identity.  The true streaming form (transformWithStateInPandas /
+    applyInPandasWithState) is smoke-tested in tests/test_streaming.py."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+
+    def purchase_streaks(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Defined as a closure so cloudpickle ships it BY VALUE —
+        # executors can't import this module (see operators/udfs.py).
+        # Per-user custom state fold: longest consecutive purchase run
+        # in (ts, event_id) order; per-user event counts are small, the
+        # fold state is O(1).
+        pdf = pdf.sort_values(["ts", "event_id"])
+        is_p = (pdf["event_type"] == "purchase").to_numpy()
+        streak = best = 0
+        for flag in is_p:
+            streak = streak + 1 if flag else 0
+            best = max(best, streak)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "max_purchase_streak": [best],
+                "n_purchases": [int(is_p.sum())],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(purchase_streaks, _STREAK_SCHEMA)
