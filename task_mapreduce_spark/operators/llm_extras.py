@@ -1,0 +1,496 @@
+"""Extended training-data-pipeline operators beyond the §2.10 core:
+the remaining dedup family (SimHash, n-gram Jaccard, embedding-cosine),
+the ANN scale path for similarity search, text quality / language-ID /
+fingerprinting, and the multimodal decode plumbing.
+
+Design rules are the same as llm_pipeline.py: no all-pairs cross joins
+(every pairwise op is blocked/bucketed), deterministic seeds, no Python
+row path except the explicitly-Arrow multimodal decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 48          # bits 0..47 of xxhash64 → always-positive longs
+_SIM_BANDS = 4              # hamming ≤ 3 ⇒ ≥ 1 of 4 bands identical (pigeonhole)
+_BAND_BITS = _SIMHASH_BITS // _SIM_BANDS
+_MAX_HAMMING = 3
+_MAX_SIM_BUCKET = 64
+
+
+@register("dedup_simhash")  # rows-only: engine-specific hash bits
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clustering.
+
+    Per doc: hash each distinct token once (xxhash64), then for each of
+    48 bit positions take the sign of Σ±1 over tokens — a narrow
+    projection, zero shuffle.  Candidate pairs come from LSH-style
+    banding on 4×12-bit slices (hamming ≤ 3 guarantees a shared band by
+    pigeonhole), ONE groupBy — never an all-pairs join; verification is
+    ``bit_count(xor) ≤ 3`` on the 48-bit fingerprints.  Output mirrors
+    dedup_near_minhash: (doc_id, cluster_id, n_dups), one row per doc."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
+        ).alias("hs"),
+    )
+    # bit b contribution: +1 if bit set else -1; simhash bit = sign of sum.
+    # b is captured via closure scope — a defaulted extra lambda param
+    # would change the lambda's arity and Spark's interpretation of it.
+    def bit_sum(b: int):
+        return F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = toks.select(
+        "doc_id", *[bit_sum(b).alias(f"s{b}") for b in range(_SIMHASH_BITS)]
+    )
+    fingerprint = None
+    for b in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    fp = bit_sums.select("doc_id", fingerprint.alias("fp"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("fp"), i * _BAND_BITS)
+                .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                .alias("band_key"),
+            )
+            for i in range(_SIM_BANDS)
+        ]
+    )
+    buckets = fp.select("doc_id", "fp", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+    ids = F.array_sort(F.collect_list(F.struct("doc_id", "fp")))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("x"), b.alias("y")),
+            ),
+        )
+    )
+    verified = (
+        buckets.groupBy("band", "band_key")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_SIM_BUCKET))
+        .select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.x.doc_id").alias("a"),
+            F.col("p.y.doc_id").alias("b"),
+            F.bit_count(F.col("p.x.fp").bitwiseXOR(F.col("p.y.fp"))).alias("dist"),
+        )
+        .filter(F.col("dist") <= _MAX_HAMMING)
+        .select("a", "b")
+        .distinct()
+    )
+    edges = verified.unionByName(
+        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    neigh = edges.groupBy("a").agg(
+        F.min("b").alias("min_nb"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return (
+        d.select("doc_id")
+        .join(neigh, d.doc_id == neigh.a, "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
+                "cluster_id"
+            ),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: blocked exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard dedup, BLOCKED by (lang, source): the
+    pairwise comparison only happens inside a block (the classic
+    blocking strategy — at 100 TB the block key would be a coarser
+    signature, e.g. a simhash band).  The join is a plain equi-join on
+    the block key; Jaccard is a small-int ratio, bit-identical across
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.select(
+        F.col("doc_id").alias("a"), "lang", "source", F.col("toks").alias("toks_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("a") < F.col("b")),
+        )
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(a.label AS BIGINT) AS label,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the label column (the
+    coarse IVF cell: at 100 TB the blocker is a k-means/LSH cell id
+    computed the same way for both sides).  Equi-join on the cell, exact
+    cosine inside — the all-pairs cross join never happens."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("a"), F.col("label").alias("label"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
+        .select("a", "b", F.col("label").cast("bigint").alias("label"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: ANN scale path (random-projection LSH, multiprobe)
+# ---------------------------------------------------------------------------
+
+_ANN_PLANES = 4             # 16 buckets; multiprobe flips each bit → 5 probes
+_ANN_TOP_K = 10
+_ANN_N_QUERIES = 5
+
+
+def _hyperplanes(dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed → same
+    buckets every run, every engine)."""
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((_ANN_PLANES, dim)).round(6).tolist()
+
+
+@register("sim_search_ann")  # rows-only: ANN recall is probabilistic
+def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine via random-projection LSH — the 100 TB
+    path for sim_search_topk.  Each vector gets a 4-bit bucket (sign of
+    the projection on 4 fixed hyperplanes, a narrow projection).  Probes
+    search their own bucket plus the 4 hamming-1 neighbors (multiprobe),
+    so each task scores ~5/16 of the corpus instead of all of it; at
+    100 TB, more planes → exponentially smaller candidate sets.  Output
+    schema matches sim_search_topk; recall vs the exact operator is
+    asserted in tests/test_llm_pipeline.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucket = None
+    for i, p in enumerate(planes):
+        proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in p]))
+        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    e = e.select("vec_id", "v", bucket.cast("int").alias("bucket"))
+
+    probes = e.filter(F.col("vec_id") < _ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_ANN_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        e.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _ANN_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: quality + language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("a", "the")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN {_STOPWORDS})) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_filter(toks, x -> length(x) >= 3)) AS BIGINT)
+               AS n_long
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+           CASE WHEN n_stop > 0 THEN 'en' ELSE 'unk' END AS lang_guess,
+           (CAST(n_long AS DOUBLE) / n_tokens)
+             * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring + n-gram language-ID heuristic: stopword
+    ratio, long-token ratio, chars-per-token, and a composite score —
+    the filters a pretraining pipeline runs before anything expensive.
+    All ratios are small-int divisions (bit-identical across engines);
+    one narrow projection, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("bigint")
+    n_long = F.size(F.filter(toks, lambda x: F.length(x) >= 3)).cast("bigint")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    long_ratio = n_long.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        long_ratio.alias("long_token_ratio"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("chars_per_token"),
+        F.when(n_stop > 0, "en").otherwise("unk").alias("lang_guess"),
+        (long_ratio * (F.lit(1.0) - stop_ratio)).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: rolling-hash document fingerprinting
+# ---------------------------------------------------------------------------
+
+_FP_WINDOW = 4
+_FP_MOD = 1_000_000_007
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(toks, x -> length(x) * 131 + ascii(x)) AS cs
+      FROM t
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(cs) - {_FP_WINDOW - 1})) AS i,
+             cs
+      FROM codes
+      WHERE len(cs) >= {_FP_WINDOW}
+    ),
+    hashes AS (
+      SELECT doc_id,
+             ((cs[i] * 131 + cs[i+1]) * 131 + cs[i+2]) * 131 + cs[i+3] AS h
+      FROM wins
+    )
+    SELECT doc_id,
+           CAST(MIN(h) AS BIGINT) AS fp_min,
+           CAST(SUM(h) % {_FP_MOD} AS BIGINT) AS fp_sum,
+           COUNT(*) AS n_windows
+    FROM hashes
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Rabin-Karp over token
+    windows): each 4-token window gets a polynomial hash from
+    engine-portable integer codes (length·131 + first-char code); the
+    doc fingerprint is (min window hash — the winnowing representative —
+    plus an order-independent modular sum).  Narrow projection + one
+    tiny agg; integer arithmetic stays < 2^53, exact in both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # codes cast to long up front: the window polynomial reaches ~1e10,
+    # past int32 (ANSI mode would raise ARITHMETIC_OVERFLOW)
+    codes = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long"))
+    c = d.select("doc_id", codes.alias("cs")).filter(F.size("cs") >= _FP_WINDOW)
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("cs") - (_FP_WINDOW - 1)),
+        lambda i: (
+            (F.element_at(F.col("cs"), i) * 131 + F.element_at(F.col("cs"), i + 1))
+            * 131
+            + F.element_at(F.col("cs"), i + 2)
+        )
+        * 131
+        + F.element_at(F.col("cs"), i + 3),
+    )
+    h = c.select("doc_id", F.explode(win_hashes).alias("h"))
+    return h.groupBy("doc_id").agg(
+        F.min("h").cast("bigint").alias("fp_min"),
+        (F.sum("h") % _FP_MOD).cast("bigint").alias("fp_sum"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: decode / feature-extract plumbing (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, header_hex STRING, "
+    "fake_width BIGINT, fake_height BIGINT, channels BIGINT"
+)
+
+
+@register("multimodal_decode")  # rows-only: decode output is not SQL-visible
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over opaque binary payloads via
+    mapInPandas: the REAL 100 TB plumbing — binary column in, Arrow
+    batches across the JVM→Python boundary, typed feature rows out,
+    partition-parallel with no shuffle.
+
+    The actual media decode is STUBBED: image/audio libraries are not
+    in this environment, so the stub derives deterministic fake
+    dimensions from the payload bytes (and documents where the real
+    decoder plugs in).  The Spark-side contract — schema, batching,
+    partitioning — is real and tested (tests/test_llm_pipeline.py)."""
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def decode_batches(batches):
+        # closure → cloudpickle ships it by value (executors can't
+        # import this module; see operators/udfs.py).
+        try:
+            import PIL.Image  # noqa: F401  # real decoder would go here
+            has_pil = True
+        except ImportError:
+            has_pil = False
+        for pdf in batches:
+            payload = pdf["payload"]
+            if has_pil:
+                # Real path (not reachable in this container): decode
+                # bytes → image, emit true (width, height, channels).
+                raise NotImplementedError(
+                    "media decode requires image fixtures; stubbed"
+                )
+            n_bytes = payload.str.len()
+            first = payload.str[0].fillna(0).astype("int64")
+            second = payload.str[1].fillna(0).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "header_hex": payload.str[:8].apply(bytes.hex),
+                    "fake_width": (first % 64 + 1),
+                    "fake_height": (second % 64 + 1),
+                    "channels": 3,
+                }
+            )
+
+    return payloads.mapInPandas(decode_batches, _DECODE_SCHEMA)

