@@ -214,21 +214,27 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed the same way for both sides).  Equi-join on the cell, exact
     cosine inside — the all-pairs cross join never happens."""
     emb = load(spark, sf_dir, "embeddings")
+    # norms computed ONCE per vector before the join — computing them
+    # per pair would redo 2/3 of the floating-point work |pairs| times
     e = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = e.select(
-        F.col("vec_id").alias("a"), F.col("label").alias("label"), F.col("v").alias("va")
+        F.col("vec_id").alias("a"),
+        F.col("label").alias("label"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+        F.col("vec_id").alias("b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
-        6,
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
