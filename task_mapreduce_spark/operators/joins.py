@@ -225,6 +225,51 @@ _REVENUE_SQL = (
 
 
 @register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum_exact(_REVENUE_SQL)} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped end-to-end: segment filter → 3-table join →
+    revenue agg → global top-10.  Every filter sits on its scan (pushed
+    to parquet), the joins shuffle on their keys, and the final top-k is
+    a TakeOrderedAndProject over 10 rows per partition — no global sort.
+    Ties broken by the unique orderkey for a deterministic result set."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp_ntz")
+    )
+    one = F.lit(1).cast("decimal(5,4)")
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        one - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum_exact(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "join_multiway",
     oracle=f"""
     SELECT n.n_name, {sql_dsum_exact(_REVENUE_SQL)} AS revenue,

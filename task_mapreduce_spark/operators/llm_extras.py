@@ -244,6 +244,70 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup: full connected components over the verified near-dup edges
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITER = 20
+
+
+@register("dedup_cluster_cc")  # rows-only: built on probabilistic LSH edges
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE duplicate clusters: connected components over the verified
+    minhash edge list, via iterative min-label propagation.
+
+    dedup_near_minhash's 1-hop cluster id is wrong for chains (A~B~C
+    with A≁C leaves C labeled B, not A); this operator converges to the
+    transitive closure.  Each iteration is one equi-join + one min-agg
+    — the standard distributed CC (label propagation; alternating-star
+    optimizations apply at extreme diameters).  Iterations are bounded
+    by the component diameter, which for near-dup clusters is tiny; the
+    loop exits as soon as a fixpoint is reached (the per-iteration
+    convergence check is a metadata-sized count).  ``localCheckpoint``
+    truncates the growing lineage each round — without it, iteration N
+    replays all N-1 predecessors.
+    """
+    from task_mapreduce_spark.operators.llm_pipeline import minhash_edges
+
+    d = load(spark, sf_dir, "documents")
+    verified = minhash_edges(d)
+    # undirected symmetric edge list, then iterate: label(v) =
+    # min(label(v), min over neighbors of label(n))
+    edges = (
+        verified.unionByName(
+            verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    labels = d.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(_CC_MAX_ITER):
+        nb_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.doc_id == nb_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+# ---------------------------------------------------------------------------
 # similarity search: ANN scale path (random-projection LSH, multiprobe)
 # ---------------------------------------------------------------------------
 

@@ -84,34 +84,12 @@ def _shingles(d: DataFrame) -> DataFrame:
     return d.select("doc_id", sh.alias("shingles"))
 
 
-@register("dedup_near_minhash")  # rows-only: LSH recall is probabilistic
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: minhash + LSH banding + exact verify.
-
-    Pipeline (all distributed, no cross join):
-      1. shingle: word bigrams per doc (set semantics);
-      2. signature: 32 seeded-xxhash64 min-hashes per doc — a narrow
-         projection (array_min ∘ transform), zero shuffle;
-      3. banding: 8 bands × 4 mins; band key = hash of the 4 mins.
-         Docs agreeing on any band collide in a bucket;
-      4. candidates: one groupBy on (band, band_hash), pairs expanded
-         in-row from the per-bucket id list (capped at _MAX_BUCKET);
-      5. verify: exact Jaccard over shingle sets for candidates only;
-      6. cluster id: min doc_id over verified neighbors (1-hop; full
-         transitive closure would be iterative — at 100 TB run
-         connected components over the verified-pair edge list).
-
-    Returns one row per doc (doc_id, cluster_id, n_dups) so the
-    rows-only check always sees data even when no near-dups exist.
-    Golden pytest: tests/test_llm_pipeline.py plants true near-dups.
-    """
-    d = load(spark, sf_dir, "documents")
+def minhash_edges(d: DataFrame) -> DataFrame:
+    """Verified near-dup edge list (a, b) with a < b — the shared
+    candidate-generation + verification pipeline behind
+    ``dedup_near_minhash`` (1-hop clusters) and ``dedup_cluster_cc``
+    (full connected components, operators/llm_extras.py)."""
     sh = _shingles(d)
-    # Signature as a NARROW projection (array_min over transform): the
-    # per-doc min-hash needs no shuffle at all — an explode + 32-way
-    # min-agg would shuffle |docs|×|shingles| rows for the same result.
-    # Strings are hashed to a long ONCE; the 32 permutations then hash
-    # long→long, which is ~an order of magnitude cheaper per seed.
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )
@@ -127,7 +105,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # All 8 band keys in ONE pass over the signature (an explode of a
     # struct array) — a union of 8 selects would re-run the shingle
-    # explode + 32-way min-agg once per band.
+    # hashing once per band.
     band_structs = F.array(
         *[
             F.struct(
@@ -171,13 +149,38 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    verified = (
+    return (
         cand.join(sa, "a")
         .join(sb, "b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= _JACCARD_T)
         .select("a", "b")
     )
+
+
+@register("dedup_near_minhash")  # rows-only: LSH recall is probabilistic
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: minhash + LSH banding + exact verify.
+
+    Pipeline (all distributed, no cross join):
+      1. shingle: word bigrams per doc (set semantics);
+      2. signature: 32 seeded-xxhash64 min-hashes per doc — a narrow
+         projection (array_min ∘ transform), zero shuffle;
+      3. banding: 8 bands × 4 mins; band key = hash of the 4 mins.
+         Docs agreeing on any band collide in a bucket;
+      4. candidates: one groupBy on (band, band_hash), pairs expanded
+         in-row from the per-bucket id list (capped at _MAX_BUCKET);
+      5. verify: exact Jaccard over shingle sets for candidates only;
+      6. cluster id: min doc_id over verified neighbors (1-hop; full
+         transitive closure would be iterative — at 100 TB run
+         connected components over the verified-pair edge list).
+
+    Returns one row per doc (doc_id, cluster_id, n_dups) so the
+    rows-only check always sees data even when no near-dups exist.
+    Golden pytest: tests/test_llm_pipeline.py plants true near-dups.
+    """
+    d = load(spark, sf_dir, "documents")
+    verified = minhash_edges(d)
     edges = verified.unionByName(
         verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

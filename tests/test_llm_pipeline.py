@@ -82,6 +82,26 @@ def test_sim_search_scores_bounded_and_self_excluded(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), f"query {q}"
 
 
+def test_connected_components_closes_chains(spark, tmp_path):
+    # A ~ B (one edit), B ~ C (one more edit), A !~ C directly once the
+    # chain drifts far enough; CC must still put all three in one
+    # component rooted at the minimum doc_id.
+    a = BASE
+    b = BASE.replace("merge", "join")
+    c = b.replace("batch", "micro").replace("sort", "shuffle")
+    rows = [
+        (1, a, "en", "s", len(a)),
+        (2, b, "en", "s", len(b)),
+        (3, c, "en", "s", len(c)),
+        (9, OTHER, "en", "s", len(OTHER)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    cc = {r["doc_id"]: r["component_id"]
+          for r in QUERIES["dedup_cluster_cc"](spark, sf).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[9] == 9
+
+
 def test_simhash_finds_planted_near_dup(spark, tmp_path):
     rows = [
         (1, BASE, "en", "src0", len(BASE)),
