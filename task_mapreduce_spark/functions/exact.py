@@ -23,12 +23,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # 38 total digits is the Spark/DuckDB decimal max; sums get widened
-# automatically.  Scale 4 covers the 2-decimal money domains; scale 8
-# is used for products of doubles (price*(1-disc)) where more fractional
-# precision is meaningful.
+# automatically.  Scale 4 covers the 2-decimal money domains; product
+# expressions carry their own (wider) scale from the operand casts.
 SUM_DEC = "decimal(24,4)"
 AVG_DEC = "decimal(24,4)"
-PROD_DEC = "decimal(28,8)"
 
 
 def _col(c: Column | str) -> Column:
@@ -38,11 +36,6 @@ def _col(c: Column | str) -> Column:
 def dsum(c: Column | str, dec: str = SUM_DEC) -> Column:
     """Exact order-independent sum of a double column, returned as double."""
     return F.sum(_col(c).cast(dec)).cast("double")
-
-
-def dsum_prod(c: Column, dec: str = PROD_DEC) -> Column:
-    """Exact sum of a computed double expression (products etc.)."""
-    return F.sum(c.cast(dec)).cast("double")
 
 
 def dsum_exact(c: Column) -> Column:
@@ -73,10 +66,6 @@ def davg(c: Column | str, dec: str = AVG_DEC) -> Column:
 
 
 def sql_dsum(expr: str, dec: str = "DECIMAL(24,4)") -> str:
-    return f"CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE)"
-
-
-def sql_dsum_prod(expr: str, dec: str = "DECIMAL(28,8)") -> str:
     return f"CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE)"
 
 

@@ -130,6 +130,11 @@ def load(spark: SparkSession, sf_dir: str, name: str, validate: bool = True) -> 
     """
     tune(spark)
     if name == "events":
+        # Session-global and deliberately never unset: the conf must
+        # hold at SCAN time, and execution is lazy — unsetting after
+        # returning the (unexecuted) DataFrame would break the read.
+        # The conf only changes how TIMESTAMP(NANOS) columns parse,
+        # which no other table in this corpus has.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path_of(sf_dir, name))
         df = df.withColumn(
