@@ -439,6 +439,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text analysis: BPE-ish regex tokenization
+# ---------------------------------------------------------------------------
+
+# pretokenizer classes kept to syntax both regex engines (Java util.regex
+# / RE2-style) treat identically: no backrefs, no lookarounds
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_tokenize_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+             AS n_alpha,
+           CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT)
+             AS n_num,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_whitespace
+    FROM documents
+    """,
+)
+def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style regex pretokenizer (alpha runs /
+    digit runs / single symbols) next to the whitespace count — the
+    cheap proxy for model-token budgeting over a pretraining corpus.
+    regexp_extract_all is codegen'd JVM regex: a narrow projection, no
+    Python, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    low = F.lower("text")
+    # idx=0 = the whole match: Spark defaults to capture group 1, which
+    # errors on group-less patterns
+    grab = lambda pat: F.regexp_extract_all(low, F.lit(pat), F.lit(0))  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size(grab(_BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
+        F.size(grab("[a-z]+")).cast("bigint").alias("n_alpha"),
+        F.size(grab("[0-9]+")).cast("bigint").alias("n_num"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_whitespace"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis: rolling-hash document fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -111,6 +111,23 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
         assert "Python" not in plan, f"{key} plans a Python eval:\n{plan}"
 
 
+def test_no_cartesian_anywhere(spark, sf_dir):
+    # a cartesian product anywhere is a 100 TB outage; a broadcast
+    # nested-loop is acceptable ONLY where the broadcast side is a
+    # handful of rows by construction:
+    bnlj_ok = {
+        "sim_search_topk",   # 5 probe vectors replicated, corpus streams
+        "text_tfidf",        # 1-row corpus-count crossJoin
+    }
+    for key in sorted(set(QUERIES) - {"stream_source"}):
+        plan = plan_of(spark, sf_dir, key, mode="simple")
+        assert "CartesianProduct" not in plan, f"{key} plans a cartesian"
+        if key not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{key} plans an unexpected nested-loop join"
+            )
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # an un-executed AdaptiveSparkPlan reports 0 codegen subtrees, so
     # inspect the static plan: AQE off for the introspection only
