@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -31,7 +32,8 @@ def _materialize(df) -> None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0  # still emit JSON for odd dir names
     spark = get_spark("tmrs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -159,8 +159,12 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = identical doubles.  Built-in stddev would NOT give this guarantee
 # (partial-merge order differs between engines and even between runs).
 _STATS_SQL_S1 = "CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE)"
+# s2's product is scale-8; requantize to scale 4 before the double cast
+# (ROUND on the DuckDB side mirrors Spark's HALF_UP downscale) so the
+# unscaled integer stays within double's 53-bit mantissa — the same
+# portability rule dsum_exact documents.
 _STATS_SQL_S2 = (
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)))"
+    "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))), 4)"
     " AS DOUBLE)"
 )
 
@@ -189,7 +193,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     s1 = F.sum(q.cast("decimal(24,4)")).cast("double")
-    s2 = F.sum(q.cast("decimal(12,4)") * q.cast("decimal(12,4)")).cast("double")
+    s2 = (
+        F.sum(q.cast("decimal(12,4)") * q.cast("decimal(12,4)"))
+        .cast("decimal(24,4)")  # requantize: see _STATS_SQL_S2 comment
+        .cast("double")
+    )
     n = F.count(F.lit(1))
     var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     return li.groupBy("l_returnflag").agg(

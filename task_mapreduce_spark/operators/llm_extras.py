@@ -108,23 +108,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    edges = verified.unionByName(
-        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    neigh = edges.groupBy("a").agg(
-        F.min("b").alias("min_nb"), F.count(F.lit(1)).alias("n_dups")
-    )
-    return (
-        d.select("doc_id")
-        .join(neigh, d.doc_id == neigh.a, "left")
-        .select(
-            "doc_id",
-            F.least(F.col("doc_id"), F.coalesce("min_nb", F.col("doc_id"))).alias(
-                "cluster_id"
-            ),
-            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
-        )
-    )
+    from task_mapreduce_spark.operators.llm_pipeline import edges_to_clusters
+
+    return edges_to_clusters(d, verified)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +290,14 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silently-split component is worse than a loud failure:
+        # chains longer than _CC_MAX_ITER hops must raise, not return
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITER} "
+            f"iterations ({changed} labels still changing); raise "
+            "_CC_MAX_ITER or switch to pointer-jumping for this graph"
+        )
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
@@ -345,11 +339,18 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in p]))
         bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    e = e.select("vec_id", "v", bucket.cast("int").alias("bucket"))
+    # norm once per vector (see dedup_embedding), bucket as a narrow col
+    e = e.select(
+        "vec_id",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        bucket.cast("int").alias("bucket"),
+    )
 
     probes = e.filter(F.col("vec_id") < _ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -367,9 +368,7 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.round(
-                _dot(F.col("qv"), F.col("v"))
-                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
-                6,
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
             ).alias("score"),
         )
     )
@@ -579,19 +578,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode_batches(batches):
         # closure → cloudpickle ships it by value (executors can't
         # import this module; see operators/udfs.py).
-        try:
-            import PIL.Image  # noqa: F401  # real decoder would go here
-            has_pil = True
-        except ImportError:
-            has_pil = False
+        # Plug point for a real decoder: replace the fake-feature block
+        # below with e.g. PIL.Image.open(io.BytesIO(buf)) per payload
+        # and emit true (width, height, channels).  The stub is the
+        # unconditional path — it must NOT probe for importable image
+        # libraries, since the payloads here are text bytes and a
+        # library appearing in the environment would otherwise flip
+        # behavior.
         for pdf in batches:
             payload = pdf["payload"]
-            if has_pil:
-                # Real path (not reachable in this container): decode
-                # bytes → image, emit true (width, height, channels).
-                raise NotImplementedError(
-                    "media decode requires image fixtures; stubbed"
-                )
             n_bytes = payload.str.len()
             first = payload.str[0].fillna(0).astype("int64")
             second = payload.str[1].fillna(0).astype("int64")

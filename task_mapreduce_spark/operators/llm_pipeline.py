@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from task_mapreduce_spark.functions.exact import sql_davg
+from task_mapreduce_spark.functions.exact import davg, sql_davg
 from task_mapreduce_spark.registry import register
 from task_mapreduce_spark.tables import load
 
@@ -73,14 +73,19 @@ _MAX_BUCKET = 64        # cap quadratic pair expansion per LSH bucket
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """doc_id → distinct word-bigram shingles (set semantics)."""
+    """doc_id → distinct word-bigram shingles (set semantics).
+
+    Single-token docs fall back to their token set: sequence(0, -1)
+    would otherwise produce [0, -1] and element_at(toks, 0) aborts the
+    whole job under ANSI semantics."""
     toks = F.split("text", " ")
-    sh = F.array_distinct(
+    bigrams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 2),
             lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
         )
     )
+    sh = F.when(F.size(toks) >= 2, bigrams).otherwise(F.array_distinct(toks))
     return d.select("doc_id", sh.alias("shingles"))
 
 
@@ -180,7 +185,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Golden pytest: tests/test_llm_pipeline.py plants true near-dups.
     """
     d = load(spark, sf_dir, "documents")
-    verified = minhash_edges(d)
+    return edges_to_clusters(d, minhash_edges(d))
+
+
+def edges_to_clusters(d: DataFrame, verified: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, n_dups) from a verified (a, b) edge list:
+    symmetrize, take the 1-hop min-neighbor label, left-join back so
+    every doc gets a row.  Shared by dedup_near_minhash and
+    dedup_simhash; dedup_cluster_cc replaces the 1-hop label with the
+    true transitive closure."""
     edges = verified.unionByName(
         verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -241,10 +254,6 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     each task only scores its bucket."""
     emb = load(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = emb.select("vec_id", dv.alias("v"))
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
 
     def dot(a, b):
         return F.aggregate(
@@ -253,7 +262,16 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    # norms once per VECTOR, before the pairwise join — recomputing them
+    # per pair would redo 2/3 of the floating-point work |pairs| times
+    e = emb.select("vec_id", dv.alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -261,8 +279,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))),
-                6,
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
             ).alias("score"),
         )
     )
@@ -301,7 +318,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        (F.sum(F.col("n_chars").cast("decimal(24,4)")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        davg("n_chars").alias("avg_chars"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
 

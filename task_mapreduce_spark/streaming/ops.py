@@ -133,7 +133,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -142,7 +142,9 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tiebreak: duplicate (user_id, ts) rows would
+             -- otherwise be assigned to sessions nondeterministically
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_no
       FROM flagged

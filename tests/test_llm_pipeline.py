@@ -62,6 +62,21 @@ def test_minhash_no_false_merge_on_disjoint_docs(spark, tmp_path):
     assert out[3]["cluster_id"] == 3 and out[3]["n_dups"] == 0
 
 
+def test_minhash_survives_short_docs(spark, tmp_path):
+    # regression: sequence(0, size-2) on a 1-token doc produced [0, -1]
+    # and element_at(toks, 0) aborted the job under ANSI semantics
+    rows = [
+        (1, "solo", "en", "s", 4),
+        (2, "solo", "en", "s", 4),
+        (3, "", "en", "s", 0),
+        (4, BASE, "en", "s", len(BASE)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_near_minhash"](spark, sf).collect()}
+    assert len(out) == 4
+    assert out[2]["cluster_id"] == 1  # identical 1-token docs cluster
+
+
 def test_minhash_deterministic(spark, sf_dir):
     a = QUERIES["dedup_near_minhash"](spark, sf_dir).orderBy("doc_id").collect()
     b = QUERIES["dedup_near_minhash"](spark, sf_dir).orderBy("doc_id").collect()
