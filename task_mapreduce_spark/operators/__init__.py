@@ -6,5 +6,6 @@ from task_mapreduce_spark.operators import llm_extras  # noqa: F401
 from task_mapreduce_spark.operators import llm_pipeline  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401
 from task_mapreduce_spark.operators import scalars  # noqa: F401
+from task_mapreduce_spark.operators import sql_surface  # noqa: F401
 from task_mapreduce_spark.operators import udfs  # noqa: F401
 from task_mapreduce_spark.operators import windows  # noqa: F401

@@ -1,0 +1,91 @@
+"""SQL entry path + partitioned sink (API-surface completeness).
+
+A user of the engine writes either DataFrame chains or SQL text; both
+lower to the same Catalyst plans.  ``sql_end_to_end`` proves the SQL
+path end-to-end (temp views + ``spark.sql``), and ``sink_partitioned``
+proves the partitioned-write → partition-pruned-read path that every
+date-organized 100 TB dataset depends on.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import TABLE_NAMES, load
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every corpus table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "sql_end_to_end",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS total,
+           CAST(rank() OVER (PARTITION BY o_orderstatus
+                             ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) DESC,
+                                      n_name) AS BIGINT) AS rank_in_status
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n_name, o_orderstatus
+    """,
+)
+def sql_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine, SQL text in: join + agg + window via ``spark.sql``
+    over temp views — identical Catalyst plan to the DataFrame form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS total,
+               CAST(rank() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) DESC,
+                                          n_name) AS BIGINT) AS rank_in_status
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n_name, o_orderstatus
+        """
+    )
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           o_orderstatus,
+           COUNT(*) AS cnt
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1, 2
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write → pruned read: orders written partitionBy(yr),
+    then one year read back.  The read's scan must list ONLY the
+    yr=1997 directory (PartitionFilters — asserted in tests/test_plans
+    .py); at 100 TB this is the difference between scanning one day and
+    scanning a decade."""
+    o = load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(), f"tmrs_part_{os.getpid()}", "orders_by_year"
+    )
+    (
+        o.withColumn("yr", F.year("o_orderdate").cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("yr")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("yr") == 1997)
+    return back.groupBy("yr", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))

@@ -111,6 +111,14 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
         assert "Python" not in plan, f"{key} plans a Python eval:\n{plan}"
 
 
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sink_partitioned")
+    # the year filter must prune directories at the scan, not filter rows
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "yr" in pf_line
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     # a cartesian product anywhere is a 100 TB outage; a broadcast
     # nested-loop is acceptable ONLY where the broadcast side is a
