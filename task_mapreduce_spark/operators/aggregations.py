@@ -183,6 +183,23 @@ GROUP BY l_returnflag
 """
 
 
+@register("agg_stats_sketch")  # rows-only: t-digest estimates are engine-specific
+def agg_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of agg_stats' exact percentiles:
+    ``approx_percentile`` (t-digest-style sketch, fixed-size mergeable
+    state per group) — same API shape, no shuffle of raw values.
+    tests/test_aggregations.py bounds the estimates against the exact
+    quartiles."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_percentile(q, F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.approx_percentile(q, F.lit(0.50), F.lit(10000)).alias("p50"),
+        F.approx_percentile(q, F.lit(0.75), F.lit(10000)).alias("p75"),
+    )
+
+
 @register("agg_stats", oracle=_STATS_ORACLE)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moments + exact percentiles.  l_quantity is integral-valued, so

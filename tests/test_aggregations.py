@@ -24,3 +24,21 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     for status, est in approx.items():
         # rsd=0.02 → ±10% is a generous 5-sigma bound
         assert abs(est - exact[status]) <= max(2, 0.10 * exact[status]), status
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    sketch = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in QUERIES["agg_stats_sketch"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+        for r in QUERIES["agg_stats"](spark, sf_dir).collect()
+    }
+    assert set(sketch) == set(exact)
+    for flag, (s25, s50, s75) in sketch.items():
+        e25, e50, e75 = exact[flag]
+        # l_quantity spans ~1..50; accuracy 10000 keeps estimates within
+        # one integer step of the true quartile
+        for s, e in ((s25, e25), (s50, e50), (s75, e75)):
+            assert abs(s - e) <= 1.0, (flag, s, e)
