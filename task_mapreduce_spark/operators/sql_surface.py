@@ -81,11 +81,10 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"tmrs_part_{os.getpid()}", "orders_by_year"
     )
-    (
-        o.withColumn("yr", F.year("o_orderdate").cast("bigint"))
-        .write.mode("overwrite")
-        .partitionBy("yr")
-        .parquet(out)
-    )
-    back = spark.read.parquet(out).filter(F.col("yr") == 1997)
+    with_yr = o.withColumn("yr", F.year("o_orderdate").cast("bigint"))
+    with_yr.write.mode("overwrite").partitionBy("yr").parquet(out)
+    # read back with the WRITTEN schema: an empty partitioned sink has no
+    # files to infer from, and at any size explicit schemas skip the
+    # footer-sampling inference pass
+    back = spark.read.schema(with_yr.schema).parquet(out).filter(F.col("yr") == 1997)
     return back.groupBy("yr", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
