@@ -78,6 +78,48 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert n == batch_n  # event_id is unique → nothing dropped
 
 
+def test_incremental_microbatches_match_batch(spark, sf_dir, tmp_path):
+    # split events into several files; one file per micro-batch forces
+    # watermark advancement and state merging ACROSS batches — the
+    # genuinely incremental path, checked against the one-shot batch agg
+    src = str(tmp_path / "landing")
+    ev = (
+        spark.read.schema(_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp"))
+    )
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    # NO watermark here: file order after repartition is arbitrary, so a
+    # watermark would (correctly) drop whichever events land in a later
+    # micro-batch than newer ones — the late-drop path has its own test.
+    # Without one, incremental state merging must reproduce the batch
+    # result exactly.
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = _run(sdf, mode="update")
+    # update mode re-emits a window each time it changes; the LAST
+    # update per (window, type) is the final count
+    final = (
+        spark.table(name)
+        .groupBy("window", "event_type")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = {(r["window"], r["event_type"]): r["cnt"] for r in final.collect()}
+    b = {(r["window"], r["event_type"]): r["cnt"] for r in batch.collect()}
+    assert a == b
+
+
 def test_stream_stateful_applyinpandas_with_state(spark, sf_dir):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
