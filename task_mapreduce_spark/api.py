@@ -30,8 +30,7 @@ from pyspark.sql import DataFrame
 MapFn = Callable[[str, str], Iterable[tuple[str, str]]]
 ReduceFn = Callable[[str, list[str]], Iterable[str]]
 
-_PAIR_SCHEMA = "k STRING, v STRING"
-_OUT_SCHEMA = "k STRING, v STRING"
+_KV_SCHEMA = "k STRING, v STRING"
 
 
 def map_reduce(
@@ -48,7 +47,8 @@ def map_reduce(
     Returns a DataFrame of (k, v) reduce outputs.  The combiner, when
     given, must be associative+commutative over its value lists (the
     MR contract); it runs map-side so the shuffle carries one value per
-    (partition, key) instead of every mapped pair.
+    (Arrow batch, key) instead of every mapped pair — batches default
+    to 10k rows, so that's still ~a 10^4 shuffle reduction on hot keys.
     """
     kv = records.select(key_col, value_col)
 
@@ -61,24 +61,28 @@ def map_reduce(
                     out_v.append(v2)
             yield pd.DataFrame({"k": out_k, "v": out_v})
 
-    mapped = kv.mapInPandas(run_map, _PAIR_SCHEMA)
+    mapped = kv.mapInPandas(run_map, _KV_SCHEMA)
 
     if combiner is not None:
 
         def run_combine(batches):
             for pdf in batches:
                 out_k, out_v = [], []
-                for k2, vals in pdf.groupby("k", sort=True)["v"]:
+                # dropna=False: pandas drops null group keys by default,
+                # which would make combiner-on lose null-keyed pairs that
+                # combiner-off keeps — a combiner must be a pure
+                # optimization, never a semantics change
+                for k2, vals in pdf.groupby("k", sort=True, dropna=False)["v"]:
                     for v in combiner(k2, sorted(vals.tolist())):
                         out_k.append(k2)
                         out_v.append(v)
                 yield pd.DataFrame({"k": out_k, "v": out_v})
 
-        mapped = mapped.mapInPandas(run_combine, _PAIR_SCHEMA)
+        mapped = mapped.mapInPandas(run_combine, _KV_SCHEMA)
 
     def run_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
         k2 = pdf["k"].iloc[0]
         out = list(reducer(k2, sorted(pdf["v"].tolist())))
         return pd.DataFrame({"k": [k2] * len(out), "v": out})
 
-    return mapped.groupBy("k").applyInPandas(run_reduce, _OUT_SCHEMA)
+    return mapped.groupBy("k").applyInPandas(run_reduce, _KV_SCHEMA)

@@ -3,8 +3,8 @@
 from task_mapreduce_spark.operators import aggregations  # noqa: F401
 from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import llm_extras  # noqa: F401
-from task_mapreduce_spark.operators import mapreduce_jobs  # noqa: F401
 from task_mapreduce_spark.operators import llm_pipeline  # noqa: F401
+from task_mapreduce_spark.operators import mapreduce_jobs  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401
 from task_mapreduce_spark.operators import scalars  # noqa: F401
 from task_mapreduce_spark.operators import sql_surface  # noqa: F401

@@ -105,10 +105,14 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
     # everything outside the declared UDF/multimodal keys must stay
     # JVM-side: no Python evals anywhere in the plan
     py_keys = {"udf_scalar_pandas", "udaf_grouped_agg", "udtf_flatmap",
-               "stream_stateful", "multimodal_decode", "stream_source"}
+               "stream_stateful", "multimodal_decode", "stream_source",
+               "mr_word_count", "mr_grep", "mr_inverted_index"}
     for key in sorted(set(QUERIES) - py_keys):
         plan = plan_of(spark, sf_dir, key, mode="simple")
+        # two detectors: row-at-a-time UDFs print "Python"; vectorized
+        # pandas operators print MapInPandas / FlatMapGroupsInPandas
         assert "Python" not in plan, f"{key} plans a Python eval:\n{plan}"
+        assert "InPandas" not in plan, f"{key} plans a pandas operator:\n{plan}"
 
 
 def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
