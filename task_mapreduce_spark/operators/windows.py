@@ -136,6 +136,42 @@ def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) OVER w AS DOUBLE)
+             AS sum_near
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based frame (RANGE, not ROWS): per customer, how many of
+    their orders fall within ±10k of each order's price, and their
+    price mass.  Range frames are keyed on the ORDER BY value, so ties
+    share a frame and no unique-key tiebreak is needed — the frame is a
+    pure function of the data."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_near"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_near"),
+    )
+
+
+@register(
     "win_topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
