@@ -127,6 +127,23 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_sink_orc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip — the other columnar format Spark ships natively
+    (same vectorized reader, predicate pushdown and pruning story as
+    parquet).  Read back with the written schema: explicit schemas skip
+    inference and survive empty sinks."""
+    n = load(spark, sf_dir, "nation")
+    out = f"{_work_dir('orc')}/nation"
+    n.write.mode("overwrite").orc(out)
+    return spark.read.schema(n.schema).orc(out)
+
+
+@register(
     "sink_parquet",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS total
