@@ -37,7 +37,8 @@ def main() -> int:
             print(f"     {e}")
         if errs:
             failed.append(key)
-    print(f"\n{len(QUERIES) - len(failed)}/{len(QUERIES)} keys pass at {sf_dir}")
+    n_ran = len([k for k in QUERIES if not only or k in only])
+    print(f"\n{n_ran - len(failed)}/{n_ran} keys pass at {sf_dir}")
     return 1 if failed else 0
 
 

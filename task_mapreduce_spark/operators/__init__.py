@@ -7,6 +7,7 @@ from task_mapreduce_spark.operators import llm_pipeline  # noqa: F401
 from task_mapreduce_spark.operators import mapreduce_jobs  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401
 from task_mapreduce_spark.operators import scalars  # noqa: F401
+from task_mapreduce_spark.operators import scale  # noqa: F401
 from task_mapreduce_spark.operators import sql_surface  # noqa: F401
 from task_mapreduce_spark.operators import udfs  # noqa: F401
 from task_mapreduce_spark.operators import windows  # noqa: F401

@@ -29,3 +29,42 @@ def test_secondary_sort_layout(spark, sf_dir):
     for pid, g in pdf.groupby("pid"):
         key = list(zip(g["user_id"], g["ts"], g["event_id"]))
         assert key == sorted(key), f"partition {pid} not sorted"
+
+
+def test_compacted_files_bounded_and_ts_clustered(spark, sf_dir):
+    """sink_compact's written files must (a) respect the per-file row
+    cap and (b) carry disjoint ts ranges, so parquet min/max stats can
+    prune whole files for time-windowed reads."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from task_mapreduce_spark.operators.scale import _MAX_RECORDS_PER_FILE
+
+    df = QUERIES["sink_compact"](spark, sf_dir)
+    assert df.count() > 0  # materialize (write already ran eagerly)
+
+    out = os.path.join(tempfile.gettempdir(), f"tmrs_compact_{os.getpid()}", "events")
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 4  # one per range partition at minimum
+
+    spans = []
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f)
+        n = md.metadata.num_rows
+        assert n <= _MAX_RECORDS_PER_FILE, f"{f} has {n} rows"
+        total += n
+        ts = pq.read_table(f, columns=["ts"])["ts"].to_pylist()
+        assert ts == sorted(ts), f"{f} not ts-sorted"
+        spans.append((min(ts), max(ts)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert lo2 >= hi1, "file ts ranges overlap — min/max pruning defeated"
+
+    # nothing lost in the rewrite
+    from task_mapreduce_spark.tables import load
+
+    assert total == load(spark, sf_dir, "events").count()

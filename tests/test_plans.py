@@ -152,3 +152,43 @@ def test_whole_stage_codegen_active(spark, sf_dir):
             assert "Found 0" not in first, f"{key} lost codegen"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q5_broadcasts_local_suppliers(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5")
+    # region⋈nation⋈supplier side replicated; facts shuffle on keys
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    import re
+
+    plan = plan_of(spark, sf_dir, "join_bucketed")
+    assert "SortMergeJoin" in plan
+    # the ONLY Exchange is the final aggregation's shuffle — the join
+    # itself reads co-located buckets (this is the entire point)
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"bucketed join shuffles: {exchanges}\n{plan}"
+    # bucket-pruned scans: Bucketed: true on both sides
+    assert plan.count("Bucketed: true") >= 2, plan
+
+
+def test_salted_join_spreads_keys_without_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_skew_salted")
+    # the technique only demonstrates under the shuffle path
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the salt must be part of the shuffle keys on both sides
+    assert "salt" in plan
+
+
+def test_sample_hash_is_scan_side_narrow(spark, sf_dir):
+    import re
+
+    plan = plan_of(spark, sf_dir, "sample_hash")
+    # the sampling predicate evaluates at the scan stage (before any
+    # exchange); only the aggregation shuffles
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"sampling should not shuffle: {exchanges}"
+    assert "md5" in plan
