@@ -225,3 +225,35 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(q, F.lit(0.50)).alias("p50"),
         F.percentile(q, F.lit(0.75)).alias("p75"),
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the ``approx_top_k`` sketch: fixed-size
+    mergeable state (maxItemsTracked counters per partial) instead of a
+    full count-per-key shuffle — at 100 TB the sketch state is
+    kilobytes per partition while the exact form shuffles every
+    distinct key.
+
+    Value-checkable by construction: a top-k sketch is EXACT whenever
+    the tracked-item budget covers the full domain, and k = |domain| =
+    5 event types here, so the result equals the exact histogram (the
+    oracle).  The genuinely-approximate regime (unbounded key domain,
+    k ≪ distinct) is exercised in tests/test_aggregations.py over
+    user_id, bounding the sketch's counts against exact ones."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("item"),
+            F.col("x.count").cast("bigint").alias("cnt"),
+        )
+    )

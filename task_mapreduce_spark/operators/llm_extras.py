@@ -271,23 +271,21 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = (
+        # carry the old label through the checkpoint so convergence is a
+        # scan of the materialized frame, not another join per round
+        merged = (
             labels.join(nb_min, labels.doc_id == nb_min.a, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("doc_id", "label")
         if changed == 0:
             break
     else:

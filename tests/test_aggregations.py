@@ -42,3 +42,25 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
         # one integer step of the true quartile
         for s, e in ((s25, e25), (s50, e50), (s75, e75)):
             assert abs(s - e) <= 1.0, (flag, s, e)
+
+
+def test_approx_topk_matches_exact_in_heavy_hitter_regime(spark, sf_dir):
+    """Over a key domain larger than k, the sketch's reported counts for
+    the true heavy hitters must match the exact counts (events per
+    user_id are near-uniform, so we compare count values, not ranks)."""
+    from task_mapreduce_spark.tables import load
+
+    e = load(spark, sf_dir, "events")
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    sketch = (
+        e.agg(F.expr("approx_top_k(user_id, 10)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select("x.item", "x.count")
+        .collect()
+    )
+    assert len(sketch) == 10
+    for r in sketch:
+        assert r["count"] == exact[r["item"]], (r, exact[r["item"]])
