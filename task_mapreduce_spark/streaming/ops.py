@@ -317,3 +317,54 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(purchase_streaks, _STREAK_SCHEMA)
+
+
+@register(
+    "stream_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN EXISTS (
+                  SELECT 1 FROM c
+                  WHERE c.user_id = p.user_id
+                    AND c.ts >= p.ts - INTERVAL 1 HOUR
+                    AND c.ts <  p.ts)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM p
+    GROUP BY p.user_id
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: click→purchase
+    conversion — a purchase "converts" if the same user clicked within
+    the preceding hour.
+
+    The semi-join keeps ``user_id`` as the equi-key with the hour range
+    as a residual predicate (same no-BNLJ discipline as
+    ``join_theta_range``; the global cartesian sweep asserts it), and
+    EXISTS semantics mean each purchase is emitted at most once no
+    matter how many clicks precede it.  In the true streaming form the
+    time-range condition is exactly what bounds each side's state: with
+    both sides watermarked, Spark retains only the last hour of clicks
+    per user — tests/test_streaming.py runs that twin end-to-end."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    converted = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left_semi",
+    )
+    n_all = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_purchases"))
+    n_conv = converted.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_converted"))
+    return n_all.join(n_conv, "user_id", "left").select(
+        "user_id",
+        "n_purchases",
+        F.coalesce("n_converted", F.lit(0)).cast("bigint").alias("n_converted"),
+    )

@@ -199,3 +199,43 @@ def test_stream_stateful_applyinpandas_with_state(spark, sf_dir):
     total = out.groupBy("user_id").agg(F.max("n_events").alias("n")).agg(F.sum("n")).first()[0]
     batch_n = spark.read.schema(_RAW).option("pathGlobFilter", "events.parquet").parquet(sf_dir).count()
     assert total == batch_n  # every event counted exactly once across state updates
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """The true streaming twin of stream_join: purchases ⋈ clicks on
+    user within a time range, BOTH sides watermarked so click state is
+    bounded by the interval instead of growing forever."""
+    ev = _stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("ts")),
+    )
+    name = _run(pairs)
+    got = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0]["n"]
+    # batch reference: the same inner pair join on the static table
+    from task_mapreduce_spark.tables import load
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("ts")),
+    ).count()
+    assert got == want and want > 0, (got, want)
