@@ -18,6 +18,11 @@ from task_mapreduce_spark.registry import ORACLES, QUERIES
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only:
+        unknown = sorted(set(only) - set(QUERIES))
+        if unknown:
+            print(f"unknown keys: {', '.join(unknown)}", file=sys.stderr)
+            return 2
     spark = get_spark("tmrs-parity")
     con = duck_con(sf_dir)
     failed = []

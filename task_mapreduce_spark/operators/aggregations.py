@@ -245,9 +245,11 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-checkable by construction: a top-k sketch is EXACT whenever
     the tracked-item budget covers the full domain, and k = |domain| =
     5 event types here, so the result equals the exact histogram (the
-    oracle).  The genuinely-approximate regime (unbounded key domain,
-    k ≪ distinct) is exercised in tests/test_aggregations.py over
-    user_id, bounding the sketch's counts against exact ones."""
+    oracle).  tests/test_aggregations.py additionally runs the k ≪
+    distinct shape over user_id — still within the default
+    maxItemsTracked budget (10 000 counters), so counts stay exact
+    there too; past that budget the sketch approximates, which is the
+    trade it exists to make at 100 TB."""
     e = load(spark, sf_dir, "events")
     return (
         e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))

@@ -224,6 +224,16 @@ _REVENUE_SQL = (
 )
 
 
+def revenue_col() -> F.Column:
+    """Python twin of :data:`_REVENUE_SQL` — keep the two in lockstep:
+    a precision change applied to one side only breaks bit-exact oracle
+    parity for every revenue-summing key."""
+    one = F.lit(1).cast("decimal(5,4)")
+    return F.col("l_extendedprice").cast("decimal(12,4)") * (
+        one - F.col("l_discount").cast("decimal(6,4)")
+    )
+
+
 @register(
     "tpch_q3",
     oracle=f"""
@@ -254,10 +264,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp_ntz")
     )
-    one = F.lit(1).cast("decimal(5,4)")
-    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
-        one - F.col("l_discount").cast("decimal(6,4)")
-    )
+    revenue = revenue_col()
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
@@ -299,10 +306,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     li = load(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(5,4)")
-    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
-        one - F.col("l_discount").cast("decimal(6,4)")
-    )
+    revenue = revenue_col()
     return (
         c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
                c.c_nationkey == F.col("n_nationkey"))

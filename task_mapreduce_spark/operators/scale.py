@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from task_mapreduce_spark.functions.exact import dsum, dsum_exact, sql_dsum, sql_dsum_exact
-from task_mapreduce_spark.operators.joins import _REVENUE_SQL
+from task_mapreduce_spark.operators.joins import _REVENUE_SQL, revenue_col
 from task_mapreduce_spark.operators.relational import _work_dir
 from task_mapreduce_spark.registry import register
 from task_mapreduce_spark.tables import load
@@ -89,10 +89,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    one = F.lit(1).cast("decimal(5,4)")
-    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
-        one - F.col("l_discount").cast("decimal(6,4)")
-    )
+    revenue = revenue_col()
     return (
         li.join(F.broadcast(local_sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -214,10 +211,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
         .withColumn("salt", F.col("salt").cast("long"))
     )
-    one = F.lit(1).cast("decimal(5,4)")
-    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
-        one - F.col("l_discount").cast("decimal(6,4)")
-    )
+    revenue = revenue_col()
     return (
         fact.join(
             dim.hint("shuffle_hash"),
@@ -235,8 +229,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample_hash — deterministic, engine-portable hash sampling
 # ---------------------------------------------------------------------------
 
-# md5 hex < '0d'  ⇔  first byte in 0x00..0x0c  ⇔  13/256 ≈ 5.08 %.
+# md5 hex < _SAMPLE_HEX  ⇔  first byte in 0x00.._SAMPLE_NUM-1  ⇔
+# _SAMPLE_NUM/256 ≈ 5.08 %.  The threshold literal is DERIVED from the
+# numerator so the filter, the oracle, and the estimate cannot drift.
 _SAMPLE_NUM, _SAMPLE_DEN = 13, 256
+_SAMPLE_HEX = f"{_SAMPLE_NUM:02x}"
 
 
 @register(
@@ -247,7 +244,7 @@ _SAMPLE_NUM, _SAMPLE_DEN = 13, 256
            CAST(COUNT(*) * {_SAMPLE_DEN} AS DOUBLE) / {_SAMPLE_NUM} AS n_estimated,
            {sql_dsum('o_totalprice')} AS sampled_total
     FROM orders
-    WHERE md5(CAST(o_orderkey AS VARCHAR)) < '0d'
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) < '{_SAMPLE_HEX}'
     GROUP BY o_orderpriority
     """,
 )
@@ -264,7 +261,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate is unbiased because md5 output is uniform on [0, 2^128).
     """
     o = load(spark, sf_dir, "orders")
-    sampled = o.filter(F.md5(F.col("o_orderkey").cast("string")) < "0d")
+    sampled = o.filter(F.md5(F.col("o_orderkey").cast("string")) < _SAMPLE_HEX)
     return sampled.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         (F.count(F.lit(1)).cast("double") * _SAMPLE_DEN / _SAMPLE_NUM).alias(

@@ -45,9 +45,11 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
 
 
 def test_approx_topk_matches_exact_in_heavy_hitter_regime(spark, sf_dir):
-    """Over a key domain larger than k, the sketch's reported counts for
-    the true heavy hitters must match the exact counts (events per
-    user_id are near-uniform, so we compare count values, not ranks)."""
+    """Over a key domain larger than k but within the sketch's
+    maxItemsTracked budget (user_id distinct ≤ 10 000 at every test
+    sf), reported counts must equal the exact counts — the sketch only
+    starts approximating past that budget (events per user_id are
+    near-uniform, so we compare count values, not ranks)."""
     from task_mapreduce_spark.tables import load
 
     e = load(spark, sf_dir, "events")

@@ -36,17 +36,16 @@ def test_compacted_files_bounded_and_ts_clustered(spark, sf_dir):
     cap and (b) carry disjoint ts ranges, so parquet min/max stats can
     prune whole files for time-windowed reads."""
     import glob
-    import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
+    from task_mapreduce_spark.operators.relational import _work_dir
     from task_mapreduce_spark.operators.scale import _MAX_RECORDS_PER_FILE
 
     df = QUERIES["sink_compact"](spark, sf_dir)
     assert df.count() > 0  # materialize (write already ran eagerly)
 
-    out = os.path.join(tempfile.gettempdir(), f"tmrs_compact_{os.getpid()}", "events")
+    out = f"{_work_dir('compact')}/events"
     files = sorted(glob.glob(f"{out}/part-*.parquet"))
     assert len(files) >= 4  # one per range partition at minimum
 
