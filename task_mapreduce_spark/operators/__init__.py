@@ -1,6 +1,7 @@
 """Operator modules; importing them populates the registry."""
 
 from task_mapreduce_spark.operators import aggregations  # noqa: F401
+from task_mapreduce_spark.operators import graph  # noqa: F401
 from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import llm_extras  # noqa: F401
 from task_mapreduce_spark.operators import llm_pipeline  # noqa: F401

@@ -1,0 +1,138 @@
+"""Iterative graph analytics: PageRank (Dean & Ghemawat's motivating
+workload — the paper §1 cites "computes PageRank" style link-graph
+jobs, and §2.3's reverse web-link graph is its candidate-generation
+step).
+
+The graph is derived from the star schema itself: the bipartite
+customer↔supplier interaction graph (an edge whenever a customer's
+order contains a lineitem from that supplier).  That keeps the
+operator on the driver's fixture tables — no synthetic side input.
+
+Determinism at 100 TB is the interesting part.  Textbook PageRank
+folds doubles, and a 1000-way partial-aggregation merge tree makes
+float sums order-dependent — the same query can hash differently run
+to run.  Here ranks are FIXED-POINT integers (scale 1e9) and the
+damping step is integer arithmetic (``(85 * x) div 100``), so every
+iteration is bit-exact regardless of merge order, partition count, or
+engine — which is also what makes a DuckDB oracle possible for an
+iterative algorithm.
+
+Scale shape per iteration: one equi-join of the edge list against the
+current ranks + one sum by destination — exactly the distributed
+PageRank from the MapReduce paper, as two shuffles.  The edge list and
+degrees are computed once and ``localCheckpoint``-ed (at cluster scale:
+a parquet checkpoint) so the 5 unrolled iterations don't replay the
+edge-derivation join five times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+_PR_SCALE = 1_000_000_000          # fixed-point: 1.0 == 1e9
+_PR_BASE = 150_000_000             # 0.15 * _PR_SCALE (teleport mass)
+_PR_ITERS = 5                      # fixed, unrolled — not run-to-convergence
+_SUPP_OFFSET = 1_000_000           # supplier node ids, disjoint from custkeys
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin with the 5 iterations unrolled as CTEs r0..r5.
+
+    ``//`` is DuckDB integer division on BIGINT operands (its DOUBLE
+    behavior — true division — never applies here: every operand is
+    BIGINT by construction), mirroring Spark's ``div``.
+    """
+    parts = [
+        f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM pairs
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT c_custkey AS node FROM customer
+      UNION ALL
+      SELECT s_suppkey + {_SUPP_OFFSET} AS node FROM supplier
+    ),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT n.node,
+             CAST({_PR_BASE} + (85 * COALESCE(i.incoming, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(r.rank // d.deg) AS incoming
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN r{i - 1} r ON e.src = r.node
+        GROUP BY e.dst
+      ) i ON n.node = i.dst
+    )"""
+        )
+    parts.append(f"\n    SELECT node, rank AS rank_fp FROM r{_PR_ITERS}")
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the customer↔supplier bipartite graph,
+    5 unrolled iterations (see module docstring for why the arithmetic
+    is integer).  Customers with no orders are dangling: they receive
+    exactly the teleport mass, asserted (where the fixture provides a
+    witness) in tests/test_graph.py."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize (edge, out-degree) ONCE — the five iterations below
+    # would otherwise each replay the lineitem⋈orders derivation
+    edeg = edges.join(deg, "src").localCheckpoint()
+
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("node"))
+        .unionByName(
+            load(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey") + _SUPP_OFFSET).alias("node")
+            )
+        )
+    )
+    ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        r = ranks.select(F.col("node").alias("src_node"), F.col("rank").alias("src_rank"))
+        incoming = (
+            edeg.join(r, F.col("src") == F.col("src_node"))
+            .select("dst", F.expr("src_rank div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+            "node",
+            (
+                F.lit(_PR_BASE).cast("long")
+                + F.expr("(85 * coalesce(incoming, 0)) div 100")
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").cast("bigint").alias("rank_fp"))

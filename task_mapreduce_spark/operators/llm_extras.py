@@ -315,7 +315,51 @@ def _hyperplanes(dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((_ANN_PLANES, dim)).round(6).tolist()
 
 
-@register("sim_search_ann")  # rows-only: ANN recall is probabilistic
+def _ann_oracle() -> str:
+    """DuckDB twin of sim_search_ann, the hyperplanes inlined as
+    literals.  Possible because the LSH is deterministic: fixed-seed
+    planes, and the sign test reads the projection ROUNDED to 6 places
+    on both engines (an ulp-level fold-order difference can only flip a
+    bucket bit if the true projection sits within ~1e-15 of a rounding
+    boundary — the same accepted residual as every rounded oracle
+    here)."""
+    planes = _hyperplanes()
+    plane_lits = ["[" + ", ".join(repr(c) for c in p) + "]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN round(list_dot_product(v, {plane_lits[i]}), 6) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_ANN_PLANES)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_ANN_PLANES)]
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, v, ({bucket}) AS bucket FROM e
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv,
+             unnest([{probe_list}]) AS bucket
+      FROM b WHERE vec_id < {_ANN_N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id,
+             round(list_cosine_similarity(p.qv, b.v), 6) AS score
+      FROM probes p JOIN b ON p.bucket = b.bucket
+      WHERE b.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_ANN_TOP_K}
+    """
+
+
+@register("sim_search_ann", oracle=_ann_oracle())
 def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via random-projection LSH — the 100 TB
     path for sim_search_topk.  Each vector gets a 4-bit bucket (sign of
@@ -324,7 +368,10 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each task scores ~5/16 of the corpus instead of all of it; at
     100 TB, more planes → exponentially smaller candidate sets.  Output
     schema matches sim_search_topk; recall vs the exact operator is
-    asserted in tests/test_llm_pipeline.py."""
+    asserted in tests/test_llm_pipeline.py, and because the planes are
+    fixed constants the whole approximate pipeline — bucketing,
+    multiprobe, scoring, ranking — is value-checked against the DuckDB
+    oracle, not just rows-counted."""
     emb = load(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
     e = emb.select(
@@ -335,7 +382,9 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = None
     for i, p in enumerate(planes):
         proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in p]))
-        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # sign of the ROUNDED projection — keeps the bucket id identical
+        # across engines/SIMD fold orders (see _ann_oracle)
+        bit = F.when(F.round(proj, 6) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     # norm once per vector (see dedup_embedding), bucket as a narrow col
     e = e.select(
@@ -558,7 +607,23 @@ _DECODE_SCHEMA = (
 )
 
 
-@register("multimodal_decode")  # rows-only: decode output is not SQL-visible
+@register(
+    "multimodal_decode",
+    # The stub decoder is deterministic byte arithmetic, so even the
+    # Arrow path is fully oracle-checkable.  The SQL mirrors bytes via
+    # chars, valid because the fixture corpus is pure ASCII (verified:
+    # octet_length(encode(text)) == length(text) for every row); the
+    # Python stub itself handles arbitrary bytes.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+           CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS BIGINT) AS fake_width,
+           CAST(ascii(substring(text, 2, 1)) % 64 + 1 AS BIGINT) AS fake_height,
+           CAST(3 AS BIGINT) AS channels
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over opaque binary payloads via
     mapInPandas: the REAL 100 TB plumbing — binary column in, Arrow
@@ -569,7 +634,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in this environment, so the stub derives deterministic fake
     dimensions from the payload bytes (and documents where the real
     decoder plugs in).  The Spark-side contract — schema, batching,
-    partitioning — is real and tested (tests/test_llm_pipeline.py)."""
+    partitioning — is real and tested (tests/test_llm_pipeline.py);
+    the stub's determinism makes even the Arrow boundary itself
+    hash-checkable against the SQL oracle above."""
     d = load(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
 
