@@ -73,16 +73,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@register(
+    "agg_approx_distinct",
+    # The HLL++ estimate itself is engine-specific, so the driver-visible
+    # output is the sketch's ERROR CERTIFICATE: the exact aggregates
+    # (value-checked) plus a boolean asserting the estimate landed within
+    # ±10% (5 sigma at rsd=0.02) of the exact count, computed in the same
+    # job.  The oracle recomputes the exact side and demands TRUE — a
+    # drifting sketch now hash-FAILS instead of sliding through a
+    # rows-only check.  The raw estimate is golden-tested in
+    # tests/test_aggregations.py.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           COUNT(*) AS n_orders,
+           TRUE AS approx_within_10pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch — the 100 TB path for distinct counts: fixed-size
     (kilobytes) mergeable state per group instead of a shuffle of all
-    distinct values.  tests/test_aggregations.py bounds the estimate
-    against the exact count (rel_sd=0.02 → well within ±10%)."""
+    distinct values.  The exact ``countDistinct`` beside it exists only
+    to certify the estimate for the oracle check; the production plan
+    at 100 TB is the sketch alone (drop the exact column and the
+    dedup shuffle goes with it)."""
     o = load(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.countDistinct("o_custkey")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        exact.alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+        (F.abs(approx - exact) <= F.greatest(F.lit(2), 0.10 * exact)).alias(
+            "approx_within_10pct"
+        ),
     )
 
 
@@ -183,20 +208,47 @@ GROUP BY l_returnflag
 """
 
 
-@register("agg_stats_sketch")  # rows-only: t-digest estimates are engine-specific
+@register(
+    "agg_stats_sketch",
+    # Same certificate pattern as agg_approx_distinct: the sketch value
+    # is engine-specific, so the driver-visible output is exact data
+    # (value-checked) plus a boolean asserting every approximate
+    # quartile landed within one integer step of the exact one.
+    # quantile_cont mirrors F.percentile exactly (the agg_stats pair
+    # already proves this bit-identical on l_quantity); the ±1.0
+    # tolerance absorbs approx_percentile returning discrete data
+    # values vs the interpolated exact quartile.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_cont(l_quantity, 0.50) AS exact_p50,
+           TRUE AS approx_within_one
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of agg_stats' exact percentiles:
     ``approx_percentile`` (t-digest-style sketch, fixed-size mergeable
-    state per group) — same API shape, no shuffle of raw values.
-    tests/test_aggregations.py bounds the estimates against the exact
-    quartiles."""
+    state per group) — same API shape, no shuffle of raw values.  The
+    exact ``percentile`` beside it exists only to certify the sketch
+    for the oracle check (l_quantity spans ~1..50, accuracy 10000 keeps
+    every quartile within one integer step); at 100 TB the production
+    plan is the sketch alone.  Raw estimates are golden-tested in
+    tests/test_aggregations.py."""
     li = load(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
+    within = None
+    for p in (0.25, 0.50, 0.75):
+        ok = (
+            F.abs(F.approx_percentile(q, F.lit(p), F.lit(10000)) - F.percentile(q, F.lit(p)))
+            <= F.lit(1.0)
+        )
+        within = ok if within is None else (within & ok)
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.approx_percentile(q, F.lit(0.25), F.lit(10000)).alias("p25"),
-        F.approx_percentile(q, F.lit(0.50), F.lit(10000)).alias("p50"),
-        F.approx_percentile(q, F.lit(0.75), F.lit(10000)).alias("p75"),
+        F.percentile(q, F.lit(0.5)).alias("exact_p50"),
+        within.alias("approx_within_one"),
     )
 
 

@@ -35,7 +35,16 @@ from task_mapreduce_spark.tables import load, path_of
 _memory_sink_counter = itertools.count()
 
 
-@register("stream_source")  # rows-only: micro-batch execution, not SQL-visible
+@register(
+    "stream_source",
+    # availableNow over a static directory is deterministic: exactly the
+    # rows a batch filter would produce.  CAST truncates DuckDB's
+    # TIMESTAMP_NS to micros the same way `ts div 1000` floors nanos.
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
 def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded source: ``readStream`` over the parquet
     path, a stateless filter/projection, one availableNow micro-batch
@@ -43,7 +52,9 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In production the source would be a directory/Kafka topic and the
     query would run continuously; availableNow gives exactly-once batch
-    semantics over whatever has landed — the standard backfill trigger.
+    semantics over whatever has landed — the standard backfill trigger;
+    that determinism is what lets even the streaming entry path be
+    value-checked against a plain SQL filter.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = T.StructType(

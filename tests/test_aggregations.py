@@ -9,9 +9,14 @@ from task_mapreduce_spark.tables import load
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):
+    """Bound the RAW HLL estimate (the registered key outputs the
+    certificate, not the engine-specific estimate)."""
     approx = {
-        r["o_orderstatus"]: r["approx_customers"]
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+        r["o_orderstatus"]: r["est"]
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("est"))
+        .collect()
     }
     exact = {
         r["o_orderstatus"]: r["n"]
@@ -24,12 +29,27 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     for status, est in approx.items():
         # rsd=0.02 → ±10% is a generous 5-sigma bound
         assert abs(est - exact[status]) <= max(2, 0.10 * exact[status]), status
+    # and the registered key's certificate agrees
+    cert = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    assert all(r["approx_within_10pct"] for r in cert)
+    assert {r["o_orderstatus"]: r["exact_customers"] for r in cert} == exact
 
 
 def test_approx_percentiles_track_exact(spark, sf_dir):
+    """Bound the RAW t-digest-style estimates (the registered key
+    outputs the certificate, not the engine-specific estimates)."""
+    q = F.col("l_quantity")
     sketch = {
         r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
-        for r in QUERIES["agg_stats_sketch"](spark, sf_dir).collect()
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.approx_percentile(q, F.lit(p), F.lit(10000)).alias(n)
+                for p, n in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+            ]
+        )
+        .collect()
     }
     exact = {
         r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
@@ -42,6 +62,9 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
         # one integer step of the true quartile
         for s, e in ((s25, e25), (s50, e50), (s75, e75)):
             assert abs(s - e) <= 1.0, (flag, s, e)
+    # and the registered key's certificate agrees
+    cert = QUERIES["agg_stats_sketch"](spark, sf_dir).collect()
+    assert all(r["approx_within_one"] for r in cert)
 
 
 def test_approx_topk_matches_exact_in_heavy_hitter_regime(spark, sf_dir):

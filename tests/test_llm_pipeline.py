@@ -163,9 +163,9 @@ def test_multimodal_decode_stub(spark, sf_dir):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
-def test_approx_distinct_within_rsd(spark, oracle, sf_dir):
+def test_approx_distinct_certificate_vs_duckdb(spark, oracle, sf_dir):
     got = {
-        r["o_orderstatus"]: r["approx_customers"]
+        r["o_orderstatus"]: (r["exact_customers"], r["approx_within_10pct"])
         for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
     }
     exact = dict(
@@ -174,4 +174,5 @@ def test_approx_distinct_within_rsd(spark, oracle, sf_dir):
         ).fetchall()
     )
     for status, truth in exact.items():
-        assert abs(got[status] - truth) <= max(5, 0.1 * truth), (status, got[status], truth)
+        n, ok = got[status]
+        assert n == truth and ok, (status, got[status], truth)
