@@ -56,11 +56,18 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     that determinism is what lets even the streaming entry path be
     value-checked against a plain SQL filter.
     """
+    # ``ts`` is parquet TIMESTAMP(NANOS); the stream schema must match
+    # what THIS Spark's parquet reader produces (native TIMESTAMP_NTZ on
+    # newer readers, epoch-nanos long under the legacy conf on older
+    # ones).  Probe with a batch read of the same footer — metadata
+    # only, no data scan.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(path_of(sf_dir, "events")).schema["ts"].dataType
+    nanos_as_long = isinstance(ts_type, T.LongType)
     raw = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -73,9 +80,14 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table inside the sf dir (in production: a landing directory).
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "ts", "user_id", "value")
+    )
+    if nanos_as_long:
+        sdf = sdf.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    sdf = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "value")
     )
     name = f"stream_source_sink_{os.getpid()}_{next(_memory_sink_counter)}"
     q = (

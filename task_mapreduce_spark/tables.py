@@ -130,16 +130,23 @@ def load(spark: SparkSession, sf_dir: str, name: str, validate: bool = True) -> 
     """
     tune(spark)
     if name == "events":
-        # Session-global and deliberately never unset: the conf must
-        # hold at SCAN time, and execution is lazy — unsetting after
-        # returning the (unexecuted) DataFrame would break the read.
-        # The conf only changes how TIMESTAMP(NANOS) columns parse,
-        # which no other table in this corpus has.
+        # ``events.ts`` is parquet TIMESTAMP(NANOS).  Spark's handling
+        # differs by version: newer readers surface it natively as
+        # TIMESTAMP_NTZ (already truncated to micros), older ones only
+        # read it with the legacy nanos-as-long conf.  Branch on the
+        # schema the reader actually produces so both behaviors load
+        # identically; the conf is session-global and deliberately never
+        # unset — scans execute lazily, and on readers that honor it the
+        # conf must still hold at execution time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path_of(sf_dir, name))
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # Legacy path: epoch nanos → floor to micros (the same
+            # truncation DuckDB applies, so oracle parity holds).
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+            )
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     else:
         df = spark.read.parquet(path_of(sf_dir, name))
     if validate:

@@ -16,25 +16,46 @@ from pyspark.sql import types as T
 
 _uid = itertools.count()
 
-_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _raw_schema(spark, sf_dir):
+    # ts is parquet TIMESTAMP(NANOS): native TIMESTAMP_NTZ on newer
+    # readers, epoch-nanos long under the legacy conf on older ones —
+    # probe the batch reader and mirror whatever it produces.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, isinstance(ts_type, T.LongType)
+
+
+def _ts_to_micros(df, nanos_as_long):
+    if nanos_as_long:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _batch_events(spark, sf_dir):
+    raw, nal = _raw_schema(spark, sf_dir)
+    return _ts_to_micros(
+        spark.read.schema(raw).option("pathGlobFilter", "events.parquet").parquet(sf_dir),
+        nal,
+    )
 
 
 def _stream_events(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_RAW)
+    raw, nal = _raw_schema(spark, sf_dir)
+    return _ts_to_micros(
+        spark.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp"))
+        .parquet(sf_dir),
+        nal,
     )
 
 
@@ -74,7 +95,7 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     )
     name = _run(sdf, mode="append")
     n = spark.table(name).count()
-    batch_n = spark.read.schema(_RAW).option("pathGlobFilter", "events.parquet").parquet(sf_dir).count()
+    batch_n = _batch_events(spark, sf_dir).count()
     assert n == batch_n  # event_id is unique → nothing dropped
 
 
@@ -83,12 +104,7 @@ def test_incremental_microbatches_match_batch(spark, sf_dir, tmp_path):
     # watermark advancement and state merging ACROSS batches — the
     # genuinely incremental path, checked against the one-shot batch agg
     src = str(tmp_path / "landing")
-    ev = (
-        spark.read.schema(_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp"))
-    )
+    ev = _batch_events(spark, sf_dir)
     ev.repartition(8).write.mode("overwrite").parquet(src)
 
     # NO watermark here: file order after repartition is arbitrary, so a
@@ -126,12 +142,7 @@ def test_checkpoint_recovery_processes_only_new_files(spark, sf_dir, tmp_path):
     # up ONLY the file that arrived in between — no reprocessing
     src = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
-    ev = (
-        spark.read.schema(_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp"))
-    )
+    ev = _batch_events(spark, sf_dir)
     first_half = ev.filter(F.col("event_id") % 2 == 0)
     second_half = ev.filter(F.col("event_id") % 2 == 1)
     first_half.coalesce(1).write.mode("overwrite").parquet(src)
@@ -197,7 +208,7 @@ def test_stream_stateful_applyinpandas_with_state(spark, sf_dir):
     name = _run(sdf, mode="update")
     out = spark.table(name)
     total = out.groupBy("user_id").agg(F.max("n_events").alias("n")).agg(F.sum("n")).first()[0]
-    batch_n = spark.read.schema(_RAW).option("pathGlobFilter", "events.parquet").parquet(sf_dir).count()
+    batch_n = _batch_events(spark, sf_dir).count()
     assert total == batch_n  # every event counted exactly once across state updates
 
 
