@@ -10,5 +10,6 @@ from task_mapreduce_spark.operators import relational  # noqa: F401
 from task_mapreduce_spark.operators import scalars  # noqa: F401
 from task_mapreduce_spark.operators import scale  # noqa: F401
 from task_mapreduce_spark.operators import sql_surface  # noqa: F401
+from task_mapreduce_spark.operators import training_pipeline  # noqa: F401
 from task_mapreduce_spark.operators import udfs  # noqa: F401
 from task_mapreduce_spark.operators import windows  # noqa: F401

@@ -1,0 +1,280 @@
+"""Training-data pipeline operators beyond the dedup/similarity core:
+sequence packing, stratified corpus sampling, embedding quantization,
+and event-funnel analysis.
+
+Same design rules as llm_pipeline.py / llm_extras.py: everything is a
+declarative DataFrame plan (no Python row path), every windowed
+computation orders by a unique key, and every float that crosses the
+oracle boundary is either integer-exact by construction or rounded
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 1024  # tokens per packed sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM documents
+    )
+    SELECT lang,
+           (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM t
+    GROUP BY lang, (cum_tokens - n_tokens) // {_PACK_BUDGET}
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences.
+
+    Contiguous-fill packing: within each language stream (ordered by
+    the unique doc_id), a doc lands in bin ``floor(tokens_before /
+    budget)`` — the deterministic, shuffle-once analogue of greedy
+    first-fit, which is inherently sequential and cannot scale.  At
+    100 TB the running sum is one window per language partition (the
+    natural shard key of a pretraining corpus) and the bin assignment
+    is pure integer arithmetic: exact under any merge order, no
+    driver-side loop, no Python.  Output is one row per packed bin
+    with its fill statistics; a real pipeline would follow with
+    ``groupBy(bin_id).agg(collect_list(...))`` to emit the sequences.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        t.withColumn(
+            "bin_id", F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}")
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+# Per-language keep rates in sixteenths: downsample the dominant
+# language, keep more of the tails — the standard corpus-mixing move.
+# md5(doc_id) < '<k>000...' keeps k/16 of the stratum, deterministically
+# and engine-portably (same rows on every run and every engine).
+_STRATA_16THS = {"en": 4, "de": 8, "es": 8, "fr": 8, "zh": 8}
+_DEFAULT_16THS = 2
+
+
+def _hex_threshold(k: int) -> str:
+    return format(k, "x") + "0" * 31
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH rated AS (
+      SELECT *,
+             CASE lang
+               {" ".join(f"WHEN '{lang}' THEN {k}" for lang, k in sorted(_STRATA_16THS.items()))}
+               ELSE {_DEFAULT_16THS}
+             END AS k16
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(*) * 16.0 / k16 AS DOUBLE) AS n_estimated,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM rated
+    WHERE md5(CAST(doc_id AS VARCHAR)) < CASE k16
+      {" ".join(f"WHEN {k} THEN '{_hex_threshold(k)}'" for k in sorted(set(_STRATA_16THS.values()) | {_DEFAULT_16THS}))}
+    END
+    GROUP BY lang, k16
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-language rates.
+
+    The keep decision is a scan-time narrow predicate on
+    ``md5(doc_id)`` — no shuffle, no RNG state, no coordination — so
+    at 100 TB the sample costs one pass and the SAME rows are kept on
+    every engine and every re-run (samples stay joinable across
+    derived tables).  Rates are per-stratum, so the dominant language
+    is downsampled while the tails are preserved; the unbiased
+    stratum-size estimate ``n/rate`` comes out alongside the exact
+    sampled aggregates.
+    """
+    d = load(spark, sf_dir, "documents")
+    k16 = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for lang, k in sorted(_STRATA_16THS.items())
+                    for x in (lang, k)
+                ]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(_DEFAULT_16THS),
+    )
+    thresholds = F.create_map(
+        *[
+            F.lit(x)
+            for k in sorted(set(_STRATA_16THS.values()) | {_DEFAULT_16THS})
+            for x in (k, _hex_threshold(k))
+        ]
+    )
+    rated = d.withColumn("k16", k16)
+    kept = rated.filter(
+        F.md5(F.col("doc_id").cast("string")) < F.element_at(thresholds, F.col("k16"))
+    )
+    return kept.groupBy("lang", "k16").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        (F.count(F.lit(1)) * 16.0 / F.col("k16").cast("double")).alias("n_estimated"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+    ).drop("k16")
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8, symmetric per-vector scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           round(amax / 127, 9) AS scale_r,
+           CAST(list_sum(list_transform(v, x -> floor(x / (amax / 127)))) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(v, x -> abs(floor(x / (amax / 127))))) AS BIGINT) AS q_l1
+    FROM e
+    WHERE amax > 0
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column.
+
+    Per vector: scale = max|x|/127, code = floor(x/scale) — the
+    compression step every 100 TB vector store runs before indexing
+    (4× smaller, SIMD-friendly).  The whole computation is a narrow
+    projection over higher-order array functions (zero shuffle, scales
+    with scan bandwidth alone); the output certifies the codes with
+    two integer checksums per vector (sum and L1), which are exact
+    under any execution order — float only crosses the oracle boundary
+    through the one rounded scale column.  Zero vectors are excluded
+    on both sides (scale undefined).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    t = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("amax"),
+    ).filter(F.col("amax") > 0)
+    scale = F.col("amax") / 127
+    q = F.transform("v", lambda x: F.floor(x / scale))
+    return t.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round(scale, 9).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel (ordered-stage conversion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE t_click > t_view) AS BIGINT) AS n_view_then_click,
+           CAST(COUNT(*) FILTER (WHERE t_buy > t_click AND t_click > t_view) AS BIGINT)
+             AS n_full_funnel,
+           round(CAST(COUNT(*) FILTER (WHERE t_buy > t_click AND t_click > t_view) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE t_view IS NOT NULL), 9) AS conversion
+    FROM u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the event stream.
+
+    One hash-agg by user computes each user's first timestamp per
+    stage (map-side partials, a single shuffle on user_id — the same
+    key every per-user analysis shards by), then one tiny global agg
+    counts users whose stage timestamps are strictly ordered.
+    Timestamp comparisons are exact; the only float is the final
+    conversion ratio, rounded identically on both sides.  NULL
+    semantics do the stage gating: a missing earlier stage makes the
+    ``>`` comparison NULL → the user drops out of that count, which is
+    exactly the funnel rule.
+    """
+    e = load(spark, sf_dir, "events")
+    first_ts = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    u = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    full = (F.col("t_buy") > F.col("t_click")) & (F.col("t_click") > F.col("t_view"))
+    n_view = F.count(F.when(F.col("t_view").isNotNull(), 1)).cast("bigint")
+    n_full = F.count(F.when(full, 1)).cast("bigint")
+    return u.agg(
+        n_view.alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .cast("bigint")
+        .alias("n_view_then_click"),
+        n_full.alias("n_full_funnel"),
+        F.round(n_full.cast("double") / n_view, 9).alias("conversion"),
+    )
