@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from task_mapreduce_spark.functions.exact import dsum, sql_dsum
 from task_mapreduce_spark.registry import register
 from task_mapreduce_spark.tables import load
+
+_SQL_DSUM_VALUE = sql_dsum("value")
 
 # ---------------------------------------------------------------------------
 # Sequence packing (training-batch assembly)
@@ -277,4 +280,154 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_view_then_click"),
         n_full.alias("n_full_funnel"),
         F.round(n_full.cast("double") / n_view, 9).alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction (latest-per-key upsert)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_upsert",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key compaction: events as a CDC log, merged SCD-1
+    style (last write wins per (user_id, event_type)).
+
+    This is the read side of MERGE INTO: one window per change key,
+    ordered by (ts, event_id) — the unique tiebreak makes "latest"
+    deterministic even with equal timestamps.  At 100 TB the window
+    partitions by the change key (high cardinality, the same shard key
+    a keyed upsert sink uses), and Spark's WindowGroupLimit drops
+    everything past row 1 before the sort buffer grows; a production
+    pipeline would run exactly this plan per micro-batch over the new
+    files and overwrite the affected key partitions.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup (multi-granularity time aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_hypertable",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {_SQL_DSUM_VALUE} AS sum_value,
+           CAST(GROUPING(event_type) * 4 + GROUPING(date_trunc('day', ts)) * 2
+                + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS gid
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate-style rollup of the event hypertable: per
+    (type, day, hour) plus every coarser level — (type, day), (type),
+    and the grand total — in ONE pass.
+
+    The timescale idiom re-expressed as Spark's ``rollup``: map-side
+    partial aggregation happens per grouping set before the single
+    shuffle, so the cost is ~4 partials over one scan, not 4 jobs over
+    4 scans.  At 100 TB the fine level (type × hour over a month) is
+    still small; a production hypertable would additionally
+    ``partitionBy(day)`` on disk so the scan prunes to the queried
+    window.  Decimal-exact sums keep every level bit-identical under
+    any merge order; grouping_id labels the level.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        e.select("event_type", day, hour, "value")
+        .rollup("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum("value").alias("sum_value"),
+            (
+                F.grouping("event_type") * 4
+                + F.grouping("day") * 2
+                + F.grouping("hour")
+            )
+            .cast("bigint")
+            .alias("gid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram counts (n-gram language statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    )
+    SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT lang,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    GROUP BY lang, bigram
+    HAVING COUNT(*) >= 2
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequencies per language — the n-gram statistics behind
+    language-ID models and contamination screens.
+
+    The adjacent-pair expansion happens in-row with higher-order array
+    functions (``transform`` over an index sequence — no self-join of
+    the exploded token table, which would shuffle the corpus twice),
+    then one explode feeds one hash-agg: the word-count shape with a
+    2-token window.  Rare bigrams are cut (n ≥ 2) to keep the output
+    the interesting head, exactly as the oracle does.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("lang", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    return (
+        t.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 2)
     )

