@@ -431,3 +431,106 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .filter(F.col("n") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (table statistics, the CBO feedstock)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_s,
+           CAST(MAX({c}) AS VARCHAR) AS max_s
+    FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics profiler — the ANALYZE TABLE primitive that
+    feeds cost-based optimization (NDV for join reordering, null counts
+    for predicate selectivity, min/max for range pruning).
+
+    All columns profile in ONE scan: a single wide aggregate row (the
+    multi-distinct is Spark's Expand — one pass over the data, partials
+    per distinct key), unpivoted in-row to one output row per column.
+    At 100 TB this is the plan ANALYZE itself runs; swapping the exact
+    NDV for ``approx_count_distinct`` (HLL) is the documented
+    scale knob, same as the agg family.  min/max cross the oracle
+    boundary as strings, rendered identically by both engines for the
+    profiled types.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Time-series delta encoding (hypertable compression primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_encode",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS dt_us,
+           value - LAG(value) OVER w AS dv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta encoding of each user's event series — the transform
+    behind every time-series compression scheme (store first value +
+    small deltas instead of absolute values).
+
+    One window per user_id (high-cardinality shard key), ordered by
+    (ts, event_id) so ties break deterministically.  Timestamp deltas
+    are exact integer microseconds; value deltas are a single IEEE
+    subtraction, bit-identical across engines with no rounding needed.
+    The first row of each series keeps NULL deltas — the restart
+    marker a decoder seeks to.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("dt_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+    )

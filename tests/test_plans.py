@@ -192,3 +192,46 @@ def test_sample_hash_is_scan_side_narrow(spark, sf_dir):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, f"sampling should not shuffle: {exchanges}"
     assert "md5" in plan
+
+
+def test_cdc_upsert_keeps_window_group_limit(spark, sf_dir):
+    # latest-per-key must drop rows past rank 1 BEFORE the sort buffer
+    # grows — WindowGroupLimit is what makes the merge scale
+    plan = plan_of(spark, sf_dir, "cdc_upsert")
+    assert "WindowGroupLimit" in plan
+
+
+def test_sample_stratified_filter_is_scan_side(spark, sf_dir):
+    # the md5-threshold keep decision must evaluate in the scan stage:
+    # no Exchange may appear below the aggregation
+    plan = plan_of(spark, sf_dir, "sample_stratified", mode="simple")
+    assert "Exchange" in plan  # the one group-by shuffle
+    # simple mode prints the tree root-first, so everything AFTER the
+    # last Exchange line is the pre-shuffle (scan-side) stage — the
+    # md5 filter must live there, not above the shuffle
+    below_shuffle = plan.rsplit("Exchange", 1)[1]
+    assert "Filter" in below_shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_quantize_is_narrow(spark, sf_dir):
+    # pure projection: no Exchange, no Sort, no join anywhere
+    plan = plan_of(spark, sf_dir, "embedding_quantize")
+    for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, f"unexpected {op} in a narrow projection"
+
+
+def test_rollup_hypertable_single_shuffle(spark, sf_dir):
+    # all rollup levels must share ONE shuffle (Expand + partial agg),
+    # not one job per granularity
+    plan = plan_of(spark, sf_dir, "rollup_hypertable")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial→final agg
+
+
+def test_pack_sequences_partitions_by_lang(spark, sf_dir):
+    # the running-sum window must partition by the corpus shard key —
+    # a global (empty-partition) window would serialize the corpus
+    plan = plan_of(spark, sf_dir, "pack_sequences")
+    assert "Window" in plan
+    assert "hashpartitioning(lang" in plan

@@ -105,3 +105,28 @@ def test_text_bigrams_within_token_budget(spark, sf_dir):
 
 def test_pack_budget_positive():
     assert _PACK_BUDGET > 0
+
+
+def test_profile_columns_one_row_per_column_consistent_counts(spark, sf_dir):
+    prof = QUERIES["profile_columns"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert len(prof) == 5
+    for r in prof:
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+        assert r["min_s"] <= r["max_s"] or r["n_distinct"] == 1
+
+
+def test_delta_encode_restart_markers_and_order(spark, sf_dir):
+    enc = QUERIES["delta_encode"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    # exactly one NULL-delta restart marker per user series
+    assert (
+        enc.filter(F.col("dt_us").isNull()).count()
+        == e.select("user_id").distinct().count()
+    )
+    # series are ordered: every encoded time delta is non-negative
+    assert enc.filter(F.col("dt_us") < 0).count() == 0
+    assert enc.count() == e.count()
