@@ -315,3 +315,92 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-dimensional file pruning)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension → 16-bit morton codes
+_Z_EPOCH = "1992-01-01"
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleave two {0..255} ints with engine-portable arithmetic
+    (%, >=, CASE — no shift operators, which the two SQL dialects
+    spell differently)."""
+    terms = []
+    for i in range(_Z_BITS):
+        p = 2**i
+        terms.append(f"(CASE WHEN ({x} % {2 * p}) >= {p} THEN {4**i} ELSE 0 END)")
+        terms.append(f"(CASE WHEN ({y} % {2 * p}) >= {p} THEN {2 * 4**i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_Z_AGG = f"""
+    SELECT morton // 256 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(x8) AS BIGINT) AS x_lo, CAST(MAX(x8) AS BIGINT) AS x_hi,
+           CAST(MIN(y8) AS BIGINT) AS y_lo, CAST(MAX(y8) AS BIGINT) AS y_hi
+    FROM z GROUP BY morton // 256
+"""
+
+
+@register(
+    "sink_zorder",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_custkey % 256 AS x8,
+             date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % 256 AS y8
+      FROM orders
+    ),
+    z AS (SELECT x8, y8, {_morton_sql('x8', 'y8')} AS morton FROM d)
+    {_Z_AGG}
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered rewrite of orders on two dimensions
+    at once — the OPTIMIZE ZORDER idiom: range-clustering by the
+    interleaved bits of (custkey, order-day) keeps per-file min/max
+    spans narrow on BOTH columns, so parquet stats prune files for
+    either filter dimension, not just the sort leader.
+
+    The morton code is pure integer arithmetic on bucketed dims
+    (engine-portable, deterministic); the write is range-partitioned
+    and sorted by it with a per-file row cap (tests assert the written
+    files' morton ranges are disjoint and their x/y spans bounded).
+    The returned aggregate certifies the clustering: per 256-code
+    z-bucket, both dimensions' spans stay ≤ 2^(bits/2) wide instead of
+    the full 0..255 — exactly the locality file skipping needs.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_custkey") % 256).alias("x8"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")
+            )
+            % 256
+        ).alias("y8"),
+    )
+    z = d.withColumn("morton", F.expr(_morton_sql("x8", "y8")))
+    out = f"{_work_dir('zorder')}/orders"
+    (
+        z.repartitionByRange(8, "morton")
+        .sortWithinPartitions("morton")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _MAX_RECORDS_PER_FILE)
+        .parquet(out)
+    )
+    back = spark.read.schema(z.schema).parquet(out)
+    return (
+        back.withColumn("zbucket", F.expr("morton div 256"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("x8").cast("bigint").alias("x_lo"),
+            F.max("x8").cast("bigint").alias("x_hi"),
+            F.min("y8").cast("bigint").alias("y_lo"),
+            F.max("y8").cast("bigint").alias("y_hi"),
+        )
+    )

@@ -534,3 +534,64 @@ def delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (us - F.lag(us).over(w)).alias("dt_us"),
         (F.col("value") - F.lag("value").over(w)).alias("dv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (range-selectivity statistics)
+# ---------------------------------------------------------------------------
+
+_HIST_QS = [i / 8 for i in range(1, 8)]  # 8 equi-depth buckets
+
+
+@register(
+    "histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, {_HIST_QS}) AS bounds
+      FROM lineitem
+    )
+    SELECT CAST(len(list_filter(b.bounds, x -> x < l.l_extendedprice)) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           round(MIN(l.l_extendedprice), 6) AS lo,
+           round(MAX(l.l_extendedprice), 6) AS hi
+    FROM lineitem l CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice — the range-selectivity
+    statistic beside profile_columns' NDV/min/max (together they are
+    what ANALYZE TABLE ... FOR COLUMNS persists for the CBO).
+
+    Two passes by construction: a tiny percentile aggregate (7
+    boundaries) broadcast back over the scan, which assigns each row
+    its bucket with an in-row array comparison — no per-row join, no
+    sort of the full column.  At 100 TB the boundary pass would use
+    approx_percentile (t-digest, mergeable) and the bucket pass is
+    unchanged; exact interpolated percentiles are bit-identical across
+    engines here (probed), so the oracle matches without tolerance.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in _HIST_QS])
+        ).alias("bounds")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter("bounds", lambda x: x < F.col("l_extendedprice"))
+            )
+            .cast("bigint")
+            .alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+    )

@@ -67,3 +67,45 @@ def test_compacted_files_bounded_and_ts_clustered(spark, sf_dir):
     from task_mapreduce_spark.tables import load
 
     assert total == load(spark, sf_dir, "events").count()
+
+
+def test_zorder_files_cluster_both_dimensions(spark, sf_dir):
+    """sink_zorder's written files must carry disjoint morton ranges
+    AND narrow per-file spans on BOTH underlying dimensions — the
+    property that lets parquet min/max stats prune on either filter
+    column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from task_mapreduce_spark.operators.relational import _work_dir
+    from task_mapreduce_spark.tables import load
+
+    df = QUERIES["sink_zorder"](spark, sf_dir)
+    assert df.count() > 0
+
+    out = f"{_work_dir('zorder')}/orders"
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 8
+
+    spans = []
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["morton", "x8", "y8"])
+        m = t["morton"].to_pylist()
+        assert m == sorted(m), f"{f} not morton-sorted"
+        total += len(m)
+        spans.append((min(m), max(m), t))
+    spans.sort(key=lambda s: s[0])
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
+        assert lo2 >= hi1, "file morton ranges overlap — pruning defeated"
+
+    # locality: a file covering ≤ 1/8 of morton space must span ≤ ~half
+    # of each dimension's range (z-curve locality), not the full 0..255
+    n_rows = load(spark, sf_dir, "orders").count()
+    assert total == n_rows
+    for lo, hi, t in spans:
+        if hi - lo <= 65536 // 8:
+            xs, ys = t["x8"].to_pylist(), t["y8"].to_pylist()
+            assert max(xs) - min(xs) <= 160, "x span too wide for a z-run"
+            assert max(ys) - min(ys) <= 160, "y span too wide for a z-run"

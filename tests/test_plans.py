@@ -128,8 +128,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     # nested-loop is acceptable ONLY where the broadcast side is a
     # handful of rows by construction:
     bnlj_ok = {
-        "sim_search_topk",   # 5 probe vectors replicated, corpus streams
-        "text_tfidf",        # 1-row corpus-count crossJoin
+        "sim_search_topk",      # 5 probe vectors replicated, corpus streams
+        "text_tfidf",           # 1-row corpus-count crossJoin
+        "histogram_equidepth",  # 1-row percentile-bounds crossJoin
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
