@@ -595,3 +595,150 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 6).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (merge partials, don't recompute)
+# ---------------------------------------------------------------------------
+
+_INCR_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "incremental_rollup",
+    # the oracle recomputes from scratch; the Spark path must land on
+    # the identical result by MERGING yesterday's partials with the
+    # delta — decimal state makes the merge exact
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {_SQL_DSUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the hourly rollup is kept fresh
+    by aggregating ONLY the newly-arrived slice and merging its
+    partials into the stored aggregate — never recomputing history.
+
+    Both slices aggregate independently (count + fixed-scale decimal
+    sum — mergeable state, exact under any merge order), then a
+    key-outer merge adds them.  At 100 TB this is the difference
+    between scanning one day and scanning three years; it is the batch
+    twin of what Structured Streaming's state store does per
+    micro-batch, and the decimal state is what makes
+    merged-vs-recomputed bit-identical (a double sum would drift).
+    The cutoff is a fixed literal so the result is deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp_ntz")
+
+    def rollup_slice(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(24,4)")).alias("sum_dec"),
+        )
+
+    base = rollup_slice(e.filter(F.col("ts") < cutoff))
+    delta = rollup_slice(e.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), ["window_start", "event_type"], "full_outer")
+        .select(
+            "window_start",
+            "event_type",
+            (
+                F.coalesce(F.col("b.cnt"), F.lit(0))
+                + F.coalesce(F.col("d.cnt"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cnt"),
+            (
+                F.coalesce(F.col("b.sum_dec"), F.lit(0).cast("decimal(24,4)"))
+                + F.coalesce(F.col("d.sum_dec"), F.lit(0).cast("decimal(24,4)"))
+            )
+            .cast("decimal(24,4)")  # exact merge state...
+            .cast("double")  # ...surfaced as double, the dsum contract
+            .alias("sum_value"),
+        )
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, med.med,
+             quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med.med
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE abs(e.value - mad.med) > 3 * mad.mad)
+                AS BIGINT) AS n_outliers,
+           round(mad.med, 9) AS median_r,
+           round(mad.mad, 9) AS mad_r
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, mad.med, mad.mad
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: |x − median| > 3·MAD.
+
+    Mean/stddev anomaly rules break under the very outliers they hunt;
+    median/MAD is the standard robust alternative.  Two tiny aggregates
+    (one row per event type) broadcast back over the scan — the fact
+    table is read twice but never shuffled by value; exact interpolated
+    percentiles are bit-identical across engines (probed for the
+    histogram), and the deviation comparison is pure IEEE arithmetic.
+    At 100 TB the medians would come from approx_percentile sketches;
+    the comparison pass is unchanged.
+    """
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            F.round("med", 9).alias("median_r"),
+            F.round("mad", 9).alias("mad_r"),
+        )
+    )

@@ -130,3 +130,29 @@ def test_delta_encode_restart_markers_and_order(spark, sf_dir):
     # series are ordered: every encoded time delta is non-negative
     assert enc.filter(F.col("dt_us") < 0).count() == 0
     assert enc.count() == e.count()
+
+
+def test_incremental_rollup_merge_equals_recompute(spark, sf_dir):
+    from task_mapreduce_spark.functions.exact import dsum
+
+    merged = QUERIES["incremental_rollup"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    full = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        dsum("value").alias("sum_value"),
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_anomaly_mad_outliers_bounded(spark, sf_dir):
+    rows = QUERIES["anomaly_mad"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_events"]
+        assert r["mad_r"] >= 0
+        # robust screen: by construction at most half the points can sit
+        # beyond 3 MADs of the median (MAD is the deviations' median)
+        assert r["n_outliers"] <= r["n_events"] / 2
