@@ -63,6 +63,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side loop, no Python.  Output is one row per packed bin
     with its fill statistics; a real pipeline would follow with
     ``groupBy(bin_id).agg(collect_list(...))`` to emit the sequences.
+
+    Contract: documents longer than the budget must be chunked
+    upstream — an oversized doc advances the fill cursor past whole
+    bins, leaving bin-id gaps (the property test pins the dense-ids
+    invariant under the every-doc-fits precondition).
     """
     d = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ")).cast("bigint")

@@ -97,3 +97,69 @@ def test_explode_inverse_of_collect(spark, rows):
         .count()
     )
     assert regrouped == n
+
+
+DOC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),      # doc_id (deduped below)
+        st.sampled_from(["en", "de", "zh"]),             # lang
+        st.integers(min_value=1, max_value=600),         # n_tokens
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@_SETTINGS
+@given(rows=DOC_ROWS, budget=st.integers(min_value=600, max_value=1600))
+def test_contiguous_fill_packing_invariants(spark, rows, budget):
+    # the pack_sequences formula on arbitrary frames: bins partition the
+    # docs, ids are dense from 0 per lang, fills conserve tokens.
+    # Precondition (matches the operator's contract): every doc fits the
+    # budget — an oversized doc advances the cursor past whole bins
+    # (hypothesis found that; real packers chunk long docs upstream),
+    # so budget ≥ the generator's max n_tokens.
+    rows = list({r[0]: r for r in rows}.values())  # unique doc_id
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_tokens LONG")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("bin_id", F.expr(f"(cum - n_tokens) div {budget}"))
+        .groupBy("lang", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in out) == len(rows)
+    assert sum(r["fill"] for r in out) == sum(r[2] for r in rows)
+    per_lang: dict[str, list] = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], []).append(r["bin_id"])
+    for ids in per_lang.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+@_SETTINGS
+@given(rows=ROWS)
+def test_delta_encode_roundtrip(spark, rows):
+    # delta encoding must invert: value = first + running sum of deltas
+    rows = [(i, a, b) for i, (a, b, _s) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "seq LONG, key INT, v INT")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("seq")
+    enc = df.withColumn("dv", F.col("v") - F.lag("v").over(w))
+    dec = enc.withColumn(
+        "v2",
+        F.first("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + F.coalesce(
+            F.sum("dv").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            F.lit(0),
+        ),
+    )
+    assert dec.filter(F.col("v2") != F.col("v")).count() == 0
