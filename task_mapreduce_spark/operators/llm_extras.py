@@ -667,3 +667,101 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: train/eval n-gram overlap screen
+# ---------------------------------------------------------------------------
+
+_DECON_EVAL_MOD = 7    # stand-in benchmark split: doc_id % 7 == 0
+_DECON_MIN_SHARED = 3  # pairs sharing ≥ 3 distinct shingles are flagged
+
+_DECON_SHINGLES_SQL = f"""
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(cs) - {_FP_WINDOW - 1}),
+               i -> ((cs[i] * 131 + cs[i+1]) * 131 + cs[i+2]) * 131 + cs[i+3]
+             )) AS hs
+      FROM (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              x -> length(x) * 131 + ascii(x)) AS cs
+        FROM documents
+      )
+      WHERE len(cs) >= {_FP_WINDOW}
+"""
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH shingles AS ({_DECON_SHINGLES_SQL}),
+    flat AS (SELECT doc_id, unnest(hs) AS h FROM shingles),
+    ev AS (SELECT doc_id AS eval_doc, h FROM flat WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id AS train_doc, h FROM flat WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+    ev_sizes AS (
+      SELECT doc_id AS eval_doc, CAST(len(hs) AS BIGINT) AS n_eval
+      FROM shingles WHERE doc_id % {_DECON_EVAL_MOD} = 0
+    )
+    SELECT tr.train_doc, ev.eval_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           round(CAST(COUNT(*) AS DOUBLE) / ev_sizes.n_eval, 9) AS eval_frac
+    FROM tr JOIN ev USING (h) JOIN ev_sizes USING (eval_doc)
+    GROUP BY tr.train_doc, ev.eval_doc, ev_sizes.n_eval
+    HAVING COUNT(*) >= {_DECON_MIN_SHARED}
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥ 3
+    distinct 4-token shingles with any eval-set document (stand-in
+    split: doc_id % 7 == 0), with the shared fraction of the eval
+    doc's shingles as the contamination score.
+
+    The canonical pretraining hygiene pass, shaped for scale: shingle
+    hashes are the same engine-portable Rabin-Karp windows as
+    text_fingerprint (integer-exact), deduplicated per doc in-row, and
+    the JOIN BROADCASTS THE EVAL SIDE — benchmarks are MBs while the
+    corpus is TBs, so the 100 TB plan touches each train shingle once
+    with no shuffle of the corpus.  Overlap counting is a hash-agg on
+    (train_doc, eval_doc)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    codes = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long"))
+    c = d.select("doc_id", codes.alias("cs")).filter(F.size("cs") >= _FP_WINDOW)
+    win_hashes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("cs") - (_FP_WINDOW - 1)),
+            lambda i: (
+                (F.element_at(F.col("cs"), i) * 131 + F.element_at(F.col("cs"), i + 1))
+                * 131
+                + F.element_at(F.col("cs"), i + 2)
+            )
+            * 131
+            + F.element_at(F.col("cs"), i + 3),
+        )
+    )
+    sh = c.select("doc_id", win_hashes.alias("hs"))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    ev = sh.filter(is_eval)
+    ev_flat = ev.select(
+        F.col("doc_id").alias("eval_doc"),
+        F.size("hs").cast("bigint").alias("n_eval"),
+        F.explode("hs").alias("h"),
+    )
+    tr_flat = sh.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), F.explode("hs").alias("h")
+    )
+    return (
+        tr_flat.join(F.broadcast(ev_flat), "h")
+        .groupBy("train_doc", "eval_doc", "n_eval")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+        .select(
+            "train_doc",
+            "eval_doc",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_eval"), 9).alias(
+                "eval_frac"
+            ),
+        )
+    )
