@@ -250,3 +250,46 @@ def test_stream_stream_interval_join(spark, sf_dir):
         & (F.col("c_ts") < F.col("ts")),
     ).count()
     assert got == want and want > 0, (got, want)
+
+
+def test_foreachbatch_cdc_merge_matches_batch_upsert(spark, sf_dir):
+    """Streaming CDC: merge each micro-batch into a keyed store with
+    last-write-wins (the foreachBatch upsert idiom) — after draining
+    the log, the store must equal cdc_upsert's batch answer."""
+    from task_mapreduce_spark.registry import QUERIES
+
+    store: dict[tuple, tuple] = {}
+
+    def merge_batch(batch_df, _batch_id):
+        # per micro-batch: reduce to latest-per-key locally, then upsert
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        for r in latest:
+            k = (r["user_id"], r["event_type"])
+            v = (r["ts"], r["event_id"], r["value"])
+            if k not in store or v[:2] > store[k][:2]:
+                store[k] = v
+
+    name_src = _stream_events(spark, sf_dir)
+    q = (
+        name_src.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+
+    batch = {
+        (r["user_id"], r["event_type"]): (r["last_ts"], r["last_value"])
+        for r in QUERIES["cdc_upsert"](spark, sf_dir).collect()
+    }
+    got = {k: (v[0], v[2]) for k, v in store.items()}
+    assert got == batch
