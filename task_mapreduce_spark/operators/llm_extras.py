@@ -743,13 +743,20 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = c.select("doc_id", win_hashes.alias("hs"))
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     ev = sh.filter(is_eval)
+    # explode_outer, not explode: plain explode makes Catalyst infer
+    # `size(hs) > 0 AND isnotnull(hs)` and push it below the projection,
+    # inlining the shingle expression with `cs` expanded — every
+    # element_at then recomputes the whole token-hash transform
+    # (quadratic per doc; 15s -> 2s at sf0.1).  The null row an empty
+    # array would emit is harmless: both sides feed an inner join on
+    # `h`, which drops null keys.
     ev_flat = ev.select(
         F.col("doc_id").alias("eval_doc"),
         F.size("hs").cast("bigint").alias("n_eval"),
-        F.explode("hs").alias("h"),
+        F.explode_outer("hs").alias("h"),
     )
     tr_flat = sh.filter(~is_eval).select(
-        F.col("doc_id").alias("train_doc"), F.explode("hs").alias("h")
+        F.col("doc_id").alias("train_doc"), F.explode_outer("hs").alias("h")
     )
     return (
         tr_flat.join(F.broadcast(ev_flat), "h")
