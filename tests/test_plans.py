@@ -131,6 +131,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "sim_search_topk",      # 5 probe vectors replicated, corpus streams
         "text_tfidf",           # 1-row corpus-count crossJoin
         "histogram_equidepth",  # 1-row percentile-bounds crossJoin
+        "profile_columns",      # 1-row NDV-aggregate crossJoin
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
