@@ -772,3 +772,229 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: repetition-based quality filters (Gopher/C4-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS cnt
+      FROM b GROUP BY doc_id, n_tokens, n_distinct, bg
+    )
+    SELECT doc_id, n_tokens,
+           CAST(MAX(cnt) AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
+           CAST(COUNT(*) AS DOUBLE) / (n_tokens - 1) AS distinct_bigram_ratio,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS repeated_token_frac
+    FROM c GROUP BY doc_id, n_tokens, n_distinct
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals — the Gopher-rule family
+    (most-common-n-gram fraction, duplicate-n-gram fraction) that
+    pretraining pipelines use to drop degenerate/boilerplate docs.
+
+    Per doc: top-bigram fraction (share of all bigram slots taken by
+    the most frequent bigram), distinct-bigram ratio, and repeated-token
+    fraction.  100 TB shape: explode to (doc_id, bigram) and count —
+    map-side partial aggregation collapses each doc's repeats before
+    the shuffle, and both aggregations key on doc_id so the second
+    groupBy reuses the first's partitioning.  All ratios are small-int
+    divisions (one correctly-rounded double op, bit-identical across
+    engines).  Docs with < 2 tokens have no bigram slots and are
+    excluded on both sides."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("toks"), i), F.lit(" "), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    flat = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.explode(bigrams).alias("bg"),
+    )
+    counts = flat.groupBy("doc_id", "n_tokens", "n_distinct", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    slots = (F.col("n_tokens") - 1).cast("double")
+    return counts.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        (F.max("cnt").cast("double") / slots).alias("top_bigram_frac"),
+        (F.count(F.lit(1)).cast("double") / slots).alias("distinct_bigram_ratio"),
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "repeated_token_frac"
+        ),
+    ).select(
+        "doc_id", "n_tokens", "top_bigram_frac", "distinct_bigram_ratio",
+        "repeated_token_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus gate: composite keep/drop filter
+# ---------------------------------------------------------------------------
+
+_GATE_MIN_TOKENS = 5
+_GATE_MAX_REPEAT = 0.7   # drop if > 70% of tokens are repeats
+
+
+@register(
+    "corpus_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN {_STOPWORDS})) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CASE
+             WHEN n_tokens < {_GATE_MIN_TOKENS} THEN 'too_short'
+             WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens
+                  > {_GATE_MAX_REPEAT} THEN 'too_repetitive'
+             WHEN n_stop = 0 THEN 'no_stopwords'
+             ELSE 'ok'
+           END AS reason,
+           CASE
+             WHEN n_tokens < {_GATE_MIN_TOKENS} THEN FALSE
+             WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens
+                  > {_GATE_MAX_REPEAT} THEN FALSE
+             WHEN n_stop = 0 THEN FALSE
+             ELSE TRUE
+           END AS keep
+    FROM m
+    """,
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite keep/drop gate a pretraining pipeline runs before
+    anything expensive: minimum length, repetition cap, and a
+    stopword-presence language screen, with the FIRST failing rule as
+    the drop reason (so downstream dashboards can attribute loss).
+
+    One narrow projection — no shuffle, no join: every signal is an
+    in-row array op, so at 100 TB this runs at scan speed and the
+    filter composes with partition pruning on whatever the corpus is
+    partitioned by.  Rule thresholds are module constants shared with
+    the SQL oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("bigint")
+    repeat_frac = F.lit(1.0) - n_distinct.cast("double") / n_tokens
+    reason = (
+        F.when(n_tokens < _GATE_MIN_TOKENS, "too_short")
+        .when(repeat_frac > _GATE_MAX_REPEAT, "too_repetitive")
+        .when(n_stop == 0, "no_stopwords")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: frame sampling over opaque video payloads
+# ---------------------------------------------------------------------------
+
+_FRAME_FPS = 4           # stub stream's frame rate
+_FRAME_STRIDE_S = 2      # sample one frame every 2 seconds
+_FRAMES_SCHEMA = (
+    "doc_id BIGINT, frame_idx BIGINT, t_offset_s BIGINT, "
+    "n_bytes BIGINT, fp_byte BIGINT"
+)
+
+
+@register(
+    "multimodal_frames",
+    # Deterministic stub metadata (duration from payload length) keeps
+    # the Arrow fan-out oracle-checkable; ASCII fixture ⇒ bytes mirror
+    # chars (same argument as multimodal_decode).
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS duration_s,
+             text
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(t_off * {_FRAME_FPS} AS BIGINT) AS frame_idx,
+           CAST(t_off AS BIGINT) AS t_offset_s,
+           n_bytes,
+           CAST(ascii(substring(text, (t_off * {_FRAME_FPS}) % n_bytes + 1, 1))
+                AS BIGINT) AS fp_byte
+    FROM (
+      SELECT doc_id, n_bytes, text,
+             unnest(generate_series(0, duration_s - 1, {_FRAME_STRIDE_S})) AS t_off
+      FROM v
+    )
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque video payloads — the third multimodal
+    primitive beside column plumbing (multimodal_columns) and decode
+    (multimodal_decode): one input row fans out to one row per sampled
+    frame, through mapInPandas.
+
+    This is the real 100 TB shape for video: binary payloads stream
+    through Arrow batches partition-parallel (no shuffle), the per-row
+    fan-out happens inside the Python worker, and output rows carry
+    (frame_idx, time offset, a frame fingerprint byte) for downstream
+    feature extraction.  The container lacks video libraries, so
+    metadata is a deterministic stub — duration derived from payload
+    length, fingerprint = payload byte at the frame's offset — and the
+    plug point for a real demuxer (pyav / ffmpeg) is the loop below.
+    Empty payloads produce no frames on both sides."""
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def sample_batches(batches):
+        # closure → cloudpickle ships it by value (executors can't
+        # import this module; see operators/udfs.py).
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "t_offset_s": [],
+                    "n_bytes": [], "fp_byte": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(buf)
+                if n == 0:
+                    continue
+                duration = n % 30 + 1
+                # real demuxer plug point: open(buf) and seek frames;
+                # the stub samples every _FRAME_STRIDE_S seconds.
+                for t_off in range(0, duration, _FRAME_STRIDE_S):
+                    idx = t_off * _FRAME_FPS
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["t_offset_s"].append(t_off)
+                    rows["n_bytes"].append(n)
+                    rows["fp_byte"].append(buf[idx % n])
+            yield pd.DataFrame(rows).astype("int64")
+    return payloads.mapInPandas(sample_batches, _FRAMES_SCHEMA)

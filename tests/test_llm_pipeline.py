@@ -176,3 +176,50 @@ def test_approx_distinct_certificate_vs_duckdb(spark, oracle, sf_dir):
     for status, truth in exact.items():
         n, ok = got[status]
         assert n == truth and ok, (status, got[status], truth)
+
+
+def test_quality_repetition_planted_degenerate_doc(spark, tmp_path):
+    # doc 1: one bigram repeated everywhere; doc 2: all-distinct tokens
+    rows = [
+        (1, "spam spam spam spam spam spam", "en", "src0", 29),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "src0", 35),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in QUERIES["quality_repetition"](spark, sf).collect()}
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["repeated_token_frac"] == pytest.approx(5 / 6)
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 5)
+    assert got[2]["repeated_token_frac"] == 0.0
+
+
+def test_corpus_filter_first_failing_reason(spark, tmp_path):
+    rows = [
+        (1, "a b", "en", "src0", 3),                             # too short
+        (2, "spam spam spam spam spam spam spam spam", "en", "src0", 39),
+        (3, "alpha beta gamma delta epsilon zeta", "en", "src0", 35),  # no stopword
+        (4, "the quick brown fox jumps over a dog", "en", "src0", 36),  # keeps
+        (5, "", "en", "src0", 0),                                # empty → too short
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in QUERIES["corpus_filter"](spark, sf).collect()}
+    assert got[1]["reason"] == "too_short" and not got[1]["keep"]
+    assert got[2]["reason"] == "too_repetitive" and not got[2]["keep"]
+    assert got[3]["reason"] == "no_stopwords" and not got[3]["keep"]
+    assert got[4]["reason"] == "ok" and got[4]["keep"]
+    assert got[5]["reason"] == "too_short"
+
+
+def test_multimodal_frames_stub(spark, sf_dir):
+    out = QUERIES["multimodal_frames"](spark, sf_dir).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["t_offset_s"] % 2 == 0
+        assert r["frame_idx"] == r["t_offset_s"] * 4
+        assert 0 <= r["fp_byte"] <= 255
+        assert r["n_bytes"] > 0  # empty payloads emit no frames
+    for frames in by_doc.values():
+        # duration = n_bytes % 30 + 1, stride 2 → ceil(duration / 2) frames
+        duration = frames[0]["n_bytes"] % 30 + 1
+        assert len(frames) == (duration + 1) // 2
