@@ -998,3 +998,139 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["fp_byte"].append(buf[idx % n])
             yield pd.DataFrame(rows).astype("int64")
     return payloads.mapInPandas(sample_batches, _FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# similarity search: IVF-cell ANN (the centroid-bucketed scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_STRIDE = 61   # every 61st vector is a centroid → nlist ≈ N/61
+_IVF_NPROBE = 2    # each query searches its 2 nearest cells
+
+
+@register(
+    "sim_search_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0
+    ),
+    asn AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM asn WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell
+      FROM asn WHERE vec_id < {_ANN_N_QUERIES} AND rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round(list_cosine_similarity(eq.v, ev.v), 6) AS score
+      FROM probes p
+      JOIN cells c USING (cell)
+      JOIN e eq ON eq.vec_id = p.query_id
+      JOIN e ev ON ev.vec_id = c.vec_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_ANN_TOP_K}
+    """,
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate nearest neighbour — the centroid-bucketed
+    scale path beside the hyperplane-LSH one (sim_search_ann).
+
+    Centroids are a deterministic data subset (every ``_IVF_STRIDE``-th
+    vector — the stand-in for a k-means pass; nlist grows as N/61, the
+    √N-ish regime IVF wants).  The 100 TB shape:
+
+    - the centroid table is ALWAYS small (nlist ≪ N) → collected into
+      one sorted array row and broadcast; cell assignment is an IN-ROW
+      argmax over that array — scan speed, ZERO shuffle of the vector
+      table (the same broadcast-the-small-side move as
+      histogram_equidepth's bounds);
+    - probes (5 rows) rank all centroids through a tiny explode+window
+      and keep their ``_IVF_NPROBE`` nearest cells;
+    - the search is an equi-join on cell against broadcast probes —
+      per-task work is |cell| × nprobe, never |corpus| × |queries|.
+
+    Every argmax/ranking orders by (rounded dot DESC, centroid id) so
+    cell assignment is stable across engines' SIMD fold orders; scores
+    are cosine rounded to 6 (same discipline as the whole family)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents_row = (
+        e.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+                )
+            ).alias("cents")
+        )
+    )
+    init = F.struct(
+        F.lit(float("-inf")).alias("d"), F.lit(None).cast("long").alias("cid")
+    )
+
+    def closer(acc, c):
+        d = F.round(_dot(F.col("v"), c["cv"]), 6)
+        better = (d > acc["d"]) | ((d == acc["d"]) & (c["cid"] < acc["cid"]))
+        return F.when(better, F.struct(d.alias("d"), c["cid"].alias("cid"))).otherwise(
+            acc
+        )
+
+    assigned = (
+        e.crossJoin(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+            F.aggregate("cents", init, closer)["cid"].alias("cell"),
+        )
+    )
+    pr = (
+        e.filter(F.col("vec_id") < _ANN_N_QUERIES)
+        .crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "v", F.explode_outer("cents").alias("c"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.round(_dot(F.col("v"), F.col("c.cv")), 6).alias("d"),
+            F.col("c.cid").alias("cell"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
+    probes = (
+        pr.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "qv", F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"), "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _ANN_TOP_K)
+    )

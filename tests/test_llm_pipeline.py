@@ -223,3 +223,26 @@ def test_multimodal_frames_stub(spark, sf_dir):
         # duration = n_bytes % 30 + 1, stride 2 → ceil(duration / 2) frames
         duration = frames[0]["n_bytes"] % 30 + 1
         assert len(frames) == (duration + 1) // 2
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["sim_search_ivf"](spark, sf_dir).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    # nprobe=2 of ~8 cells: expect a solid fraction of the exact top-k
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    for q, v in ivf:
+        assert v != q
+    # ranks are 1..k contiguous per query
+    by_q = {}
+    for r in QUERIES["sim_search_ivf"](spark, sf_dir).collect():
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
