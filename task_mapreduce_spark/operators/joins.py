@@ -368,3 +368,57 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: the
+    aggregate-then-HAVING-then-join-back plan shape (a decorrelated IN
+    subquery).
+
+    The qualifying-order set is computed FIRST — one fact-table
+    hash-agg with map-side partials, then the >250 filter collapses it
+    to a tiny key set — and the per-order quantity total is REUSED from
+    that aggregate rather than re-joining lineitem a second time (the
+    textbook form re-aggregates; reusing the partial is the plan you
+    want at 100 TB, where lineitem is the table you never touch twice).
+    Both subsequent joins shuffle on their natural keys with the
+    already-collapsed row set.  l_quantity is integral in this corpus,
+    so the BIGINT sum is exact on both engines; the top-100 plans as
+    TakeOrderedAndProject with the unique orderkey as final tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey", F.col("q").cast("bigint").alias("sum_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
