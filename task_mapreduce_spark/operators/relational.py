@@ -369,3 +369,57 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a key on both sides with higher left multiplicity would survive it.
     only = c.subtract(o).select(F.lit("only_customer").alias("tag"), "c_custkey")
     return both.unionByName(only)
+
+
+@register(
+    "scan_evolving_schema",
+    # expected result derivable purely from `orders`: era-0 files lack
+    # o_orderpriority, so merged reads surface it as NULL there
+    oracle="""
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS with_priority
+    FROM (
+      SELECT CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) < 1998
+                  THEN 1997 ELSE 1998 END AS yr,
+             CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) < 1998
+                  THEN NULL ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
+    GROUP BY yr ORDER BY yr
+    """,
+)
+def scan_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two file eras of the same table — the old
+    era written BEFORE a column existed, the new era after — read back
+    as one relation with ``mergeSchema``, the old files surfacing the
+    missing column as NULL.
+
+    This is the every-day 100 TB situation (a corpus accumulated over
+    years drifts columns), and the two production rules it encodes:
+    merged reads must ask for schema union explicitly (``mergeSchema``
+    is a footer-only pass but not free — at scale you pin the merged
+    schema in a catalog instead of re-deriving it per query), and
+    downstream logic must treat era-missing values as NULL, never as a
+    read error.  The count/COUNT(col) pair proves NULL-fill happened
+    per era."""
+    o = load(spark, sf_dir, "orders")
+    era0 = o.filter(F.year("o_orderdate") < 1998).select(
+        "o_orderkey", "o_orderdate"
+    )
+    era1 = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    tmp = _work_dir("evolve")
+    era0.write.mode("overwrite").parquet(f"{tmp}/t/era=0")
+    era1.write.mode("overwrite").parquet(f"{tmp}/t/era=1")
+    merged = spark.read.option("mergeSchema", True).parquet(f"{tmp}/t")
+    return (
+        merged.groupBy(
+            F.when(F.year("o_orderdate") < 1998, 1997).otherwise(1998).alias("yr")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.count("o_orderpriority").cast("bigint").alias("with_priority"),
+        )
+        .orderBy("yr")
+    )

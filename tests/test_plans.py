@@ -239,3 +239,15 @@ def test_pack_sequences_partitions_by_lang(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pack_sequences")
     assert "Window" in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_q18_scans_lineitem_exactly_once(spark, sf_dir):
+    # the HAVING subquery's aggregate is reused for sum_qty — a second
+    # lineitem scan means the fact table is being read twice at 100 TB
+    plan = plan_of(spark, sf_dir, "tpch_q18")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q10_broadcasts_nation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q10", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
