@@ -757,3 +757,68 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 9).alias("mad_r"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (the batch twin of streaming session windows)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM m
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: assign each user's events to sessions split
+    by > 30 minutes of inactivity, then summarize each session — the
+    batch twin of the native streaming ``session_window``
+    (streaming/ops.py) and the classic lag-then-cumulative-sum shape.
+
+    100 TB shape: both windows share ONE partitioning (user_id) and ONE
+    sort (us, event_id) — a single shuffle+sort feeds the lag and the
+    running sum back-to-back; the session summary is then a hash-agg on
+    (user_id, session_seq).  Time math is integer microseconds (exact
+    on both engines) and the unique event_id breaks ts ties, so session
+    boundaries are deterministic under any partitioning."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = e.select("user_id", "event_id", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("us") - prev) > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = t.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(ws).cast("bigint")
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("us").cast("bigint").alias("start_us"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+    )
