@@ -311,3 +311,54 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.count").cast("bigint").alias("cnt"),
         )
     )
+
+
+@register(
+    "agg_sketch_merge",
+    # Same error-certificate discipline as agg_approx_distinct: the
+    # estimate is engine-specific, so the driver-visible output is the
+    # exact count plus a boolean asserting the TWO-LEVEL (daily →
+    # union) estimate landed within tolerance.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS merged_within_10pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: per-day HLL sketches of distinct
+    users, UNION-merged per event type, then estimated — the pattern a
+    100 TB pipeline actually stores (a kilobyte sketch per day per key,
+    persisted beside the rollup) so month-level distincts come from merging
+    30 sketches instead of re-scanning 30 days of raw events.
+
+    This is the capability ``approx_count_distinct`` alone doesn't
+    show: `hll_sketch_agg` partials survive as DATA (binary column),
+    merge associatively via ``hll_union_agg`` at ANY later time, and
+    the estimate is taken after the merge.  The exact count rides along
+    only to certify the merged estimate within ±10% (the oracle demands
+    TRUE, so a drifting merge hash-FAILS rather than sliding through a
+    rows-only check)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(F.lit(2), 0.10 * F.col("exact_users"))
+        ).alias("merged_within_10pct"),
+    )
