@@ -822,3 +822,52 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").cast("bigint").alias("start_us"),
         (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (the canonical product-analytics rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.active_day)
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-seen day, counted
+    on each later day they return — the canonical product-analytics
+    rollup (and, for a training pipeline, the freshness curve of a
+    crawl source).
+
+    100 TB shape: the cohort assignment (min day per user) and the
+    distinct active-day set both shuffle ON user_id, so the join back
+    is co-partitioned — one effective shuffle of the events table plus
+    a tiny (cohort, offset) aggregate.  All values are integer dates
+    and counts: bit-exact on both engines, no rounding discipline
+    needed."""
+    e = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    f = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    a = e.select("user_id", day.alias("active_day")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
