@@ -1134,3 +1134,71 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= _ANN_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: asymmetric containment (subset-duplication)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS contained, b.doc_id AS container,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(a.toks) AS containment
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE len(a.toks) > 0
+      AND len(a.toks) < len(b.toks)
+      AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(a.toks) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder's containment coefficient
+    |A∩B| / |A|): flags documents whose token set is ≥ 90% contained in
+    a strictly larger document — the quote/boilerplate-superset case
+    that symmetric Jaccard misses (a short doc embedded in a long one
+    has high containment but low Jaccard).
+
+    Same blocking discipline as dedup_ngram_jaccard: pairwise work only
+    inside the (lang, source) equi-join block, never all-pairs; the
+    strict size ordering halves the candidate pairs and makes the
+    directional output well-defined.  Containment is a small-int ratio,
+    bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.select(
+        F.col("doc_id").alias("contained"), "lang", "source",
+        F.col("toks").alias("toks_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("container"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    containment = F.size(F.array_intersect("toks_a", "toks_b")).cast(
+        "double"
+    ) / F.size("toks_a")
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("contained") != F.col("container")),
+        )
+        .filter((F.size("toks_a") > 0) & (F.size("toks_a") < F.size("toks_b")))
+        .select("contained", "container", containment.alias("containment"))
+        .filter(F.col("containment") >= _CONTAIN_T)
+    )

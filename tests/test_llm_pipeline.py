@@ -246,3 +246,18 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_containment_finds_planted_subset_doc(spark, tmp_path):
+    long_doc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+    short_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, long_doc, "en", "src0", len(long_doc)),
+        (2, short_doc, "en", "src0", len(short_doc)),   # subset of doc 1
+        (3, "totally different words here now", "en", "src0", 33),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = QUERIES["dedup_containment"](spark, sf).collect()
+    pairs = {(r["contained"], r["container"]): r["containment"] for r in got}
+    assert pairs == {(2, 1): 1.0}  # directional: short inside long only
