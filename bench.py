@@ -5,8 +5,16 @@ Each query is fully materialized through the `noop` sink (forces the
 complete physical plan — unlike count(), which lets Catalyst prune the
 projection).  Prints exactly ONE JSON line:
 
-    {"metric": "total_wall", "value": <sum>, "unit": "sec",
-     "queries": {<key>: <sec>, ...}, "sf": <sf>}
+    {"queries": {<key>: <sec>, ...}, "metric": "total_wall",
+     "value": <sum>, "unit": "sec", "sf": <sf>}
+
+The driver records only the LAST ~2 KB of stdout (a tail capture), so
+the line is laid out to survive head-truncation: per-key timings come
+FIRST ordered fastest->slowest, and the envelope (total/unit/sf)
+comes LAST — whatever is cut is the fastest, least informative keys,
+and the slowest keys plus the totals always make the artifact.  The
+line itself is compact-separated and centisecond-rounded to keep it
+as close to the capture window as 105 keys allow.
 
 Warm-up: the first query pays JVM/session start-up; we run the
 flagship once untimed first so per-key numbers reflect plan cost.
@@ -44,19 +52,22 @@ def main() -> int:
         t0 = time.time()
         try:
             _materialize(QUERIES[key](spark, sf_dir))
-            timings[key] = round(time.time() - t0, 3)
+            timings[key] = round(time.time() - t0, 2)
         except Exception as exc:  # noqa: BLE001
             print(f"BENCH ERROR {key}: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[key] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # fastest first, errors (-1) last: the tail capture must always
+    # show the slowest keys and any failures.
+    ordered = dict(sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1])))
     print(json.dumps({
+        "queries": ordered,
         "metric": "total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-    }))
+    }, separators=(",", ":")))
     return 0
 
 

@@ -140,26 +140,44 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi range self-join (event pairs within 1 h per user).  The
-    equi-key ``user_id`` is in the condition, so Spark plans a shuffled
-    equi-join with the range as a residual filter — never a broadcast
-    nested-loop over the full cross.  At 100 TB, if one user's history
-    is still too big, bucket ``ts`` into interval-sized bins and join on
-    (user_id, bin ± 1) to cap the per-task pair count."""
+    """Non-equi range self-join (event pairs within 1 h per user),
+    planned as a BINNED equi-join: ``ts`` is truncated to hour bins,
+    the probe side expands to its own bin plus the next one (a
+    size-2 literal array explode — size-preserving, so no generator
+    filter pathology), and the join key is ``(user_id, bin)`` with the
+    exact range as a residual.  b.ts ∈ (a.ts, a.ts+1h] implies
+    trunc(b.ts) ∈ {trunc(a.ts), trunc(a.ts)+1h}, so the binning is
+    lossless, each qualifying pair matches exactly one probe row, and
+    — unlike the bare (user_id) equi-join — one user's multi-year
+    history shards across hour bins instead of funneling every pair
+    through one task: per-task pair count is bounded by the events of
+    two adjacent hours, not the user's lifetime."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    a, b = e.alias("a"), e.alias("b")
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_event"),
+        F.col("ts").alias("b_ts"),
+        F.date_trunc("hour", "ts").alias("b_bin"),
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("a_event"),
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "ts"),
+                F.date_trunc("hour", "ts") + hour,
+            )
+        ).alias("bin"),
+    )
     return a.join(
         b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.ts") > F.col("a.ts"))
-        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
-    ).select(
-        F.col("a.user_id").alias("user_id"),
-        F.col("a.event_id").alias("a_event"),
-        F.col("b.event_id").alias("b_event"),
-        F.col("a.ts").alias("a_ts"),
-        F.col("b.ts").alias("b_ts"),
-    )
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("bin") == F.col("b_bin"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + hour),
+    ).select("user_id", "a_event", "b_event", "a_ts", "b_ts")
 
 
 @register(

@@ -118,6 +118,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_token_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, toks) with set semantics — the shared
+    input shape for the exact-similarity dedup family."""
+    return d.select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+
+def _block_prefix(t: DataFrame, inv_frac: int) -> DataFrame:
+    """Prefix-filter candidate rows: each doc's ⌊n / inv_frac⌋ + 1
+    RAREST tokens under the per-block total order (doc-frequency asc,
+    token asc) — the AllPairs/PPJoin prefix.  For a threshold
+    t = 1 − 1/inv_frac, any pair meeting the threshold shares a prefix
+    token, so downstream exact verification loses nothing; and because
+    the prefix is the rare end of the vocabulary, per-token candidate
+    buckets stay small even when one (lang, source) block dominates the
+    corpus — the bound the raw block join lacked.
+
+    Two linear shuffles (token-frequency count, per-doc rank): the
+    standard index build cost of every published prefix-filter join.
+    ``explode_outer`` per the repo invariant (array_distinct is not
+    size-preserving); the inner frequency join drops the null rows."""
+    tok = t.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").alias("n"),
+        F.explode_outer("toks").alias("token"),
+    )
+    freq = tok.groupBy("lang", "source", "token").agg(
+        F.count(F.lit(1)).alias("tdf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("tdf"), F.asc("token"))
+    return (
+        tok.join(freq, ["lang", "source", "token"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.expr(f"n div {inv_frac}") + 1)
+        .select("doc_id", "lang", "source", "n", "token")
+    )
+
+
+def jaccard_candidates(t: DataFrame) -> DataFrame:
+    """Candidate pairs (a < b) for Jaccard ≥ 0.9 within (lang, source)
+    blocks: prefix-token equi-join + the exact integer size-ratio bound
+    (J ≥ 0.9 ⇒ 10·min(|A|,|B|) ≥ 9·max(|A|,|B|) — integer arithmetic,
+    no 0.9·n float edge).  Lossless by the prefix-filter theorem, so
+    the exact verify downstream reproduces the naive block join's
+    output with bounded per-token buckets instead of per-block
+    quadratic expansion."""
+    p = _block_prefix(t, 10)
+    pa = p.select(
+        F.col("doc_id").alias("a"), "lang", "source", "token",
+        F.col("n").alias("n_a"),
+    )
+    pb = p.select(
+        F.col("doc_id").alias("b"), "lang", "source", "token",
+        F.col("n").alias("n_b"),
+    )
+    return (
+        pa.join(pb, ["lang", "source", "token"])
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (10 * F.least("n_a", "n_b") >= 9 * F.greatest("n_a", "n_b"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -136,35 +205,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard dedup, BLOCKED by (lang, source): the
-    pairwise comparison only happens inside a block (the classic
-    blocking strategy — at 100 TB the block key would be a coarser
-    signature, e.g. a simhash band).  The join is a plain equi-join on
-    the block key; Jaccard is a small-int ratio, bit-identical across
-    engines."""
+    """Exact token-set Jaccard dedup within (lang, source) blocks,
+    candidates via LOSSLESS prefix filtering (:func:`jaccard_candidates`)
+    instead of the raw in-block pair join: a dominant block (one big
+    source — the realistic corpus case) no longer degenerates to
+    quadratic pair expansion, because pairs only form on shared RARE
+    prefix tokens and must pass the integer size-ratio bound first.
+    The exact Jaccard verify runs on candidates only; since the prefix
+    theorem guarantees every qualifying pair is a candidate, the output
+    — and therefore the oracle — is identical to the naive block join.
+    Jaccard is a small-int ratio, bit-identical across engines."""
     d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    a = t.select(
-        F.col("doc_id").alias("a"), "lang", "source", F.col("toks").alias("toks_a")
-    )
-    b = t.select(
-        F.col("doc_id").alias("b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("toks").alias("toks_b"),
-    )
+    t = _doc_token_sets(d)
+    cand = jaccard_candidates(t)
+    sa = t.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"))
+    sb = t.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")
     )
     return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("source") == F.col("source_b"))
-            & (F.col("a") < F.col("b")),
-        )
+        cand.join(sa, "a")
+        .join(sb, "b")
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
     )
@@ -1004,7 +1065,6 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search: IVF-cell ANN (the centroid-bucketed scale path)
 # ---------------------------------------------------------------------------
 
-_IVF_STRIDE = 61   # every 61st vector is a centroid → nlist ≈ N/61
 _IVF_NPROBE = 2    # each query searches its 2 nearest cells
 
 
@@ -1014,8 +1074,14 @@ _IVF_NPROBE = 2    # each query searches its 2 nearest cells
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
+    p AS (
+      -- stride chosen so nlist ≈ ceil(sqrt(N)): the √N regime IVF wants
+      SELECT greatest(1, CAST(floor(count(*) / greatest(1, ceil(sqrt(count(*)))))
+               AS BIGINT)) AS stride
+      FROM e
+    ),
     cents AS (
-      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_IVF_STRIDE} = 0
+      SELECT vec_id AS cid, v AS cv FROM e, p WHERE vec_id % p.stride = 0
     ),
     asn AS (
       SELECT e.vec_id, c.cid,
@@ -1050,17 +1116,20 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell approximate nearest neighbour — the centroid-bucketed
     scale path beside the hyperplane-LSH one (sim_search_ann).
 
-    Centroids are a deterministic data subset (every ``_IVF_STRIDE``-th
-    vector — the stand-in for a k-means pass; nlist grows as N/61, the
-    √N-ish regime IVF wants).  The 100 TB shape:
+    Centroids are a deterministic data subset (every stride-th vector,
+    the stand-in for a k-means pass) with the stride DERIVED from the
+    corpus size so nlist ≈ ceil(√N) — computed as a 1-row aggregate
+    cross-joined back in, no driver action, and the same formula the
+    oracle evaluates in SQL.  The 100 TB shape:
 
-    - the centroid table is ALWAYS small (nlist ≪ N) → collected into
-      one sorted array row and broadcast; cell assignment is an IN-ROW
-      argmax over that array — scan speed, ZERO shuffle of the vector
-      table (the same broadcast-the-small-side move as
-      histogram_equidepth's bounds);
-    - probes (5 rows) rank all centroids through a tiny explode+window
-      and keep their ``_IVF_NPROBE`` nearest cells;
+    - the centroid table is nlist ≈ √N ROWS (≈16 MB at 1 B vectors of
+      dim 64) → broadcast; cell assignment streams corpus × centroids
+      through the broadcast join and collapses MAP-SIDE via a partial
+      ``max_by`` aggregate, so the shuffle carries exactly N narrow
+      (vec_id, cell) rows — never the multiplied join output and never
+      a monolithic all-centroids array row;
+    - probes (5 rows) rank all centroids through the same broadcast
+      join + a tiny window and keep their ``_IVF_NPROBE`` nearest;
     - the search is an equi-join on cell against broadcast probes —
       per-task work is |cell| × nprobe, never |corpus| × |queries|.
 
@@ -1070,46 +1139,45 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    params = e.agg(F.count(F.lit(1)).alias("n")).select(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                F.col("n") / F.greatest(F.lit(1.0), F.ceil(F.sqrt("n")))
+            ).cast("long"),
+        ).alias("stride")
     )
-    cents_row = (
-        e.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+    cents = (
+        e.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    d = F.round(_dot(F.col("v"), F.col("cv")), 6)
+    # argmax per vector: max_by over (dot DESC, cid ASC) — the partial
+    # aggregate runs in the same stage as the broadcast join, so the
+    # nlist-times-multiplied rows never hit the shuffle.
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", d.alias("d"), "cid")
+        .groupBy("vec_id")
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-                )
-            ).alias("cents")
+            F.max_by("cid", F.struct(F.col("d"), (-F.col("cid")).alias("nc"))).alias(
+                "cell"
+            ),
+            F.first("v").alias("v"),      # constant within the group
+            F.first("nrm").alias("nrm"),  # (one vector per vec_id)
         )
     )
-    init = F.struct(
-        F.lit(float("-inf")).alias("d"), F.lit(None).cast("long").alias("cid")
-    )
-
-    def closer(acc, c):
-        d = F.round(_dot(F.col("v"), c["cv"]), 6)
-        better = (d > acc["d"]) | ((d == acc["d"]) & (c["cid"] < acc["cid"]))
-        return F.when(better, F.struct(d.alias("d"), c["cid"].alias("cid"))).otherwise(
-            acc
-        )
-
-    assigned = (
-        e.crossJoin(F.broadcast(cents_row))
-        .select(
-            "vec_id",
-            "v",
-            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
-            F.aggregate("cents", init, closer)["cid"].alias("cell"),
-        )
-    )
+    assigned = cells.select("vec_id", "v", "nrm", "cell")
     pr = (
         e.filter(F.col("vec_id") < _ANN_N_QUERIES)
-        .crossJoin(F.broadcast(cents_row))
-        .select("vec_id", "v", F.explode_outer("cents").alias("c"))
+        .crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            F.round(_dot(F.col("v"), F.col("c.cv")), 6).alias("d"),
-            F.col("c.cid").alias("cell"),
+            d.alias("d"),
+            F.col("cid").alias("cell"),
         )
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
@@ -1169,36 +1237,48 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     that symmetric Jaccard misses (a short doc embedded in a long one
     has high containment but low Jaccard).
 
-    Same blocking discipline as dedup_ngram_jaccard: pairwise work only
-    inside the (lang, source) equi-join block, never all-pairs; the
-    strict size ordering halves the candidate pairs and makes the
-    directional output well-defined.  Containment is a small-int ratio,
-    bit-identical across engines."""
+    Candidates come from the asymmetric prefix filter, not a raw
+    (lang, source) block join: containment ≥ 0.9 means A misses at
+    most ⌊|A|/10⌋ of its own tokens from B, so ANY ⌊|A|/10⌋+1 tokens
+    of A include one present in B — the contained side probes with its
+    RAREST-token prefix (:func:`_block_prefix`) against the container
+    side's full inverted index, joined on (lang, source, token) with
+    the strict |A| < |B| size residual.  Lossless, so exact verify on
+    candidates reproduces the naive block join's output; a dominant
+    block expands per rare-token posting list, not per-block
+    quadratically.  Containment is a small-int ratio, bit-identical
+    across engines."""
     d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    t = _doc_token_sets(d)
+    pa = _block_prefix(t, 10).select(
+        F.col("doc_id").alias("contained"), "lang", "source", "token",
+        F.col("n").alias("n_a"),
     )
-    a = t.select(
-        F.col("doc_id").alias("contained"), "lang", "source",
-        F.col("toks").alias("toks_a"),
-    )
-    b = t.select(
+    inv = t.select(
         F.col("doc_id").alias("container"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("toks").alias("toks_b"),
+        "lang",
+        "source",
+        F.size("toks").alias("n_b"),
+        F.explode_outer("toks").alias("token"),
     )
+    cand = (
+        pa.join(inv, ["lang", "source", "token"])
+        .filter(
+            (F.col("contained") != F.col("container"))
+            & (F.col("n_a") > 0)
+            & (F.col("n_a") < F.col("n_b"))
+        )
+        .select("contained", "container")
+        .distinct()
+    )
+    sa = t.select(F.col("doc_id").alias("contained"), F.col("toks").alias("toks_a"))
+    sb = t.select(F.col("doc_id").alias("container"), F.col("toks").alias("toks_b"))
     containment = F.size(F.array_intersect("toks_a", "toks_b")).cast(
         "double"
     ) / F.size("toks_a")
     return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("source") == F.col("source_b"))
-            & (F.col("contained") != F.col("container")),
-        )
-        .filter((F.size("toks_a") > 0) & (F.size("toks_a") < F.size("toks_b")))
+        cand.join(sa, "contained")
+        .join(sb, "container")
         .select("contained", "container", containment.alias("containment"))
         .filter(F.col("containment") >= _CONTAIN_T)
     )

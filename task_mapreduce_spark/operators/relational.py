@@ -249,6 +249,23 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def percentile_bucket_ids(df: DataFrame, col_name: str, n_buckets: int) -> F.Column:
+    """Bucket-id expression (1..n) for a global sort: boundaries seeded
+    from ``approx_percentile`` so heavy-tailed keys still yield
+    near-equal bucket counts (linear min/max widths pile a skewed key
+    into one straggler bucket).  The boundaries are collected ONCE as
+    metadata and inlined as literals, so the id stays a pure function
+    of the row's value — recomputation/eviction-stable, unlike range
+    partitioning's per-run sampling.  pid = 1 + #boundaries strictly
+    below the value, monotone in the value, equal keys share a bucket."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.percentile_approx(col_name, qs, 10000)).first()[0] or []
+    pid: F.Column = F.lit(1)
+    for b in sorted(set(bounds)):  # dedup: massive ties → empty buckets
+        pid = pid + F.when(F.col(col_name) > F.lit(b), 1).otherwise(0)
+    return pid.cast("long")
+
+
 @register(
     "sort_global",
     oracle="""
@@ -262,21 +279,21 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global rank is materialized WITHOUT a single-partition window
     (which would funnel the whole table through one task).  The bucket
-    id is a *pure function of the row's value* (``width_bucket`` over
-    the min/max of the sort key), so — unlike range partitioning, which
-    re-samples boundaries per run — every pass over the data assigns
-    every row to the same bucket with no cache dependency: correctness
-    survives recomputation, eviction and 1000-way parallelism.  Pass 1
+    id is a *pure function of the row's value* (boundary literals from
+    :func:`percentile_bucket_ids`), so — unlike range partitioning,
+    which re-samples boundaries per run — every pass over the data
+    assigns every row to the same bucket with no cache dependency:
+    correctness survives recomputation, eviction and 1000-way
+    parallelism; and because the boundaries are equi-depth percentiles
+    rather than equal-width slices of [min, max], a heavy-tailed sort
+    key still spreads ~1/n of the rows into each bucket.  Pass 1
     counts rows per bucket (metadata-sized collect); pass 2 computes a
     per-bucket row_number and adds the broadcast bucket offset.  Ties
     are broken by the unique key so the rank is deterministic."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
-    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
     n_buckets = 64  # at 100 TB: raise so each bucket fits an executor core
-    # width_bucket yields 1..n+1 (n+1 iff value == hi) — deterministic.
-    pid = F.width_bucket(F.col("o_totalprice"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
-    parts = o.withColumn("pid", pid)
+    parts = o.withColumn("pid", percentile_bucket_ids(o, "o_totalprice", n_buckets))
     counts = parts.groupBy("pid").count().collect()  # ≤ n+1 rows of metadata
     offsets, acc = [], 0
     # descending sort → highest bucket id ranks first

@@ -261,3 +261,57 @@ def test_containment_finds_planted_subset_doc(spark, tmp_path):
     got = QUERIES["dedup_containment"](spark, sf).collect()
     pairs = {(r["contained"], r["container"]): r["containment"] for r in got}
     assert pairs == {(2, 1): 1.0}  # directional: short inside long only
+
+
+def test_prefix_filter_bounds_dominant_block(spark, tmp_path):
+    """A single dominant (lang, source) block must NOT expand
+    quadratically: prefix filtering keys candidates on each doc's
+    rarest tokens, so 300 docs sharing 5 common tokens but each
+    carrying a unique rare token generate (almost) no candidate
+    pairs — while planted true near-dups are still found (the prefix
+    is lossless for J >= 0.9)."""
+    from task_mapreduce_spark.operators.llm_extras import (
+        _doc_token_sets,
+        jaccard_candidates,
+    )
+    from task_mapreduce_spark.tables import load
+
+    common = "alpha beta gamma delta epsilon"
+    base = " ".join(f"tok{i}" for i in range(19))
+    rows = [
+        (i, f"{common} uniq{i}", "en", "src0", 0) for i in range(300)
+    ] + [
+        # true near-dup pair: 19 shared + 1 unique token each, J = 19/21
+        (1000, f"{base} onlyx", "en", "src0", 0),
+        (1001, f"{base} onlyy", "en", "src0", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    d = load(spark, sf, "documents")
+    cand = jaccard_candidates(_doc_token_sets(d)).collect()
+    n_docs = len(rows)
+    naive_pairs = n_docs * (n_docs - 1) // 2  # 45k+ for the raw block join
+    assert len(cand) < 10, f"{len(cand)} candidates — prefix filter not pruning"
+    assert len(cand) < naive_pairs // 100
+    assert (1000, 1001) in {(r["a"], r["b"]) for r in cand}
+    out = {(r["a"], r["b"]) for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect()}
+    assert out == {(1000, 1001)}  # exact verify keeps only the true pair
+
+
+def test_containment_prefix_finds_planted_subset(spark, tmp_path):
+    from task_mapreduce_spark.operators.llm_extras import _CONTAIN_T
+
+    big = " ".join(f"w{i}" for i in range(20))
+    sub = " ".join(f"w{i}" for i in range(10))  # strict subset: containment 1.0
+    rows = [(i, f"alpha beta gamma uniq{i}", "en", "src0", 0) for i in range(50)] + [
+        (500, big, "en", "src0", 0),
+        (501, sub, "en", "src0", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in QUERIES["dedup_containment"](spark, sf).collect()
+    }
+    assert (501, 500) in got and got[(501, 500)] >= _CONTAIN_T
+    # the dominant block contributes nothing: unique rare tokens keep
+    # every prefix probe out of the common postings
+    assert all(k == (501, 500) for k in got)

@@ -133,7 +133,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "text_tfidf",           # 1-row corpus-count crossJoin
         "histogram_equidepth",  # 1-row percentile-bounds crossJoin
         "profile_columns",      # 1-row NDV-aggregate crossJoin
-        "sim_search_ivf",       # 1-row centroid-array crossJoin
+        "sim_search_ivf",       # √N centroid ROWS broadcast (≈16 MB at 1 B vecs)
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")

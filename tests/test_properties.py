@@ -163,3 +163,27 @@ def test_delta_encode_roundtrip(spark, rows):
         ),
     )
     assert dec.filter(F.col("v2") != F.col("v")).count() == 0
+
+
+def test_percentile_buckets_balance_heavy_tail(spark):
+    # sort_global's bucket seeding must not pile a heavy-tailed key
+    # into one straggler bucket (equal-width min/max slices would put
+    # ~97% of pow(U,8) draws into the first slice).
+    from task_mapreduce_spark.operators.relational import percentile_bucket_ids
+
+    n, n_buckets = 20000, 16
+    hv = spark.range(n).select((F.pow(F.rand(7), F.lit(8.0)) * 1e6).alias("v"))
+    hv = hv.cache()
+    try:
+        hv.count()
+        pid = percentile_bucket_ids(hv, "v", n_buckets)
+        counts = [
+            r["count"] for r in hv.withColumn("p", pid).groupBy("p").count().collect()
+        ]
+    finally:
+        hv.unpersist()
+    assert sum(counts) == n
+    # every bucket within 25% of ideal occupancy (observed: ±0.2%)
+    ideal = n / n_buckets
+    assert max(counts) <= 1.25 * ideal
+    assert min(counts) >= 0.75 * ideal

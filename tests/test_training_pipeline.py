@@ -57,8 +57,11 @@ def test_sample_stratified_rates_and_determinism(spark, sf_dir):
 
 def test_embedding_quantize_code_bounds(spark, sf_dir):
     q = QUERIES["embedding_quantize"](spark, sf_dir)
+    # floor(x / fl(amax/127)) can reach -128 for x == -amax when the
+    # rounded scale is slightly below the true amax/127, so the
+    # per-element code bound is [-128, 127], not [-127, 127].
     bad = q.filter(
-        (F.col("q_l1") > 127 * F.col("n_dims")) | (F.col("scale_r") <= 0)
+        (F.col("q_l1") > 128 * F.col("n_dims")) | (F.col("scale_r") <= 0)
     ).count()
     assert bad == 0
     assert q.count() > 0
@@ -116,7 +119,13 @@ def test_profile_columns_one_row_per_column_consistent_counts(spark, sf_dir):
         assert r["n_rows"] == n
         assert 0 <= r["n_nulls"] <= n
         assert 1 <= r["n_distinct"] <= n
-        assert r["min_s"] <= r["max_s"] or r["n_distinct"] == 1
+        # min_s/max_s are stringified; compare numerically when both
+        # parse (lexicographic order inverts for e.g. min=9, max=10)
+        try:
+            lo, hi = float(r["min_s"]), float(r["max_s"])
+        except (TypeError, ValueError):
+            lo, hi = r["min_s"], r["max_s"]
+        assert lo <= hi or r["n_distinct"] == 1
 
 
 def test_delta_encode_restart_markers_and_order(spark, sf_dir):
