@@ -187,6 +187,26 @@ def jaccard_candidates(t: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_pairs(t: DataFrame) -> DataFrame:
+    """Verified (a, b, jaccard) pairs with exact token-set Jaccard
+    ≥ 0.9 within (lang, source) blocks — prefix-filtered candidates
+    (:func:`jaccard_candidates`), exact verify on candidates only.
+    Shared by dedup_ngram_jaccard (pair output) and dedup_cluster_cc
+    (the deterministic edge set its components are built on)."""
+    cand = jaccard_candidates(t)
+    sa = t.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"))
+    sb = t.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
@@ -216,19 +236,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and therefore the oracle — is identical to the naive block join.
     Jaccard is a small-int ratio, bit-identical across engines."""
     d = load(spark, sf_dir, "documents")
-    t = _doc_token_sets(d)
-    cand = jaccard_candidates(t)
-    sa = t.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"))
-    sb = t.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select("a", "b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.9)
-    )
+    return jaccard_pairs(_doc_token_sets(d))
 
 
 # ---------------------------------------------------------------------------
@@ -297,14 +305,47 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITER = 20
 
 
-@register("dedup_cluster_cc")  # rows-only: built on probabilistic LSH edges
+@register(
+    "dedup_cluster_cc",
+    # Full value check: the edge set is the DETERMINISTIC exact-Jaccard
+    # pair list (same blocks/threshold as dedup_ngram_jaccard), so the
+    # transitive closure is SQL-expressible — a recursive CTE computes
+    # every (doc, reachable label) and takes the per-doc minimum.
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.doc_id
+    )
+    SELECT doc_id, CAST(min(label) AS BIGINT) AS component_id
+    FROM reach GROUP BY doc_id
+    """,
+)
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE duplicate clusters: connected components over the verified
-    minhash edge list, via iterative min-label propagation.
+    """TRUE duplicate clusters: connected components over a verified
+    near-dup edge list, via iterative min-label propagation.
 
-    dedup_near_minhash's 1-hop cluster id is wrong for chains (A~B~C
-    with A≁C leaves C labeled B, not A); this operator converges to the
-    transitive closure.  Each iteration is one equi-join + one min-agg
+    A 1-hop cluster id is wrong for chains (A~B~C with A≁C leaves C
+    labeled B, not A); this operator converges to the transitive
+    closure.  The edge set here is the deterministic exact-Jaccard
+    pair list (:func:`jaccard_pairs` — same prefix-filtered plan as
+    dedup_ngram_jaccard), which makes the WHOLE operator value-checkable
+    against a recursive-CTE oracle instead of rows-only; swapping in
+    the probabilistic ``minhash_edges`` (the cheaper 100 TB edge
+    generator, exercised by dedup_near_minhash's goldens) changes no
+    downstream shape.  Each iteration is one equi-join + one min-agg
     — the standard distributed CC (label propagation; alternating-star
     optimizations apply at extreme diameters).  Iterations are bounded
     by the component diameter, which for near-dup clusters is tiny; the
@@ -313,10 +354,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates the growing lineage each round — without it, iteration N
     replays all N-1 predecessors.
     """
-    from task_mapreduce_spark.operators.llm_pipeline import minhash_edges
-
     d = load(spark, sf_dir, "documents")
-    verified = minhash_edges(d)
+    verified = jaccard_pairs(_doc_token_sets(d)).select("a", "b")
     # undirected symmetric edge list, then iterate: label(v) =
     # min(label(v), min over neighbors of label(n))
     edges = (
@@ -364,46 +403,76 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search: ANN scale path (random-projection LSH, multiprobe)
 # ---------------------------------------------------------------------------
 
-_ANN_PLANES = 4             # 16 buckets; multiprobe flips each bit → 5 probes
+_ANN_MIN_PLANES = 4         # floor: 16 buckets even on tiny fixtures
+_ANN_MAX_PLANES = 16        # fixed-seed plane POOL size (the cap)
+_ANN_TARGET_BUCKET = 64     # derive planes so E[bucket size] ≈ this
 _ANN_TOP_K = 10
 _ANN_N_QUERIES = 5
 
 
 def _hyperplanes(dim: int = 64) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (fixed seed → same
-    buckets every run, every engine)."""
+    """Deterministic pseudo-random hyperplane POOL (fixed seed → same
+    values every run, every engine); :func:`_n_planes` decides how many
+    of the pool are active for a given corpus size."""
     rng = np.random.RandomState(42)
-    return rng.standard_normal((_ANN_PLANES, dim)).round(6).tolist()
+    return rng.standard_normal((_ANN_MAX_PLANES, dim)).round(6).tolist()
+
+
+def _n_planes(n: int) -> int:
+    """Active plane count for an N-vector corpus:
+    clamp(ceil(log2(N / target_bucket)), 4, 16) — bucket population
+    halves per plane, so this keeps E[bucket size] near the target
+    instead of freezing a fixture-sized constant.  The oracle evaluates
+    the SAME formula in SQL from count(*), so both engines always agree
+    on the active planes at any scale factor."""
+    import math
+
+    if n <= _ANN_TARGET_BUCKET:
+        return _ANN_MIN_PLANES
+    return min(
+        _ANN_MAX_PLANES,
+        max(_ANN_MIN_PLANES, math.ceil(math.log2(n / _ANN_TARGET_BUCKET))),
+    )
 
 
 def _ann_oracle() -> str:
-    """DuckDB twin of sim_search_ann, the hyperplanes inlined as
-    literals.  Possible because the LSH is deterministic: fixed-seed
-    planes, and the sign test reads the projection ROUNDED to 6 places
-    on both engines (an ulp-level fold-order difference can only flip a
-    bucket bit if the true projection sits within ~1e-15 of a rounding
+    """DuckDB twin of sim_search_ann, the hyperplane pool inlined as
+    literals and the ACTIVE plane count computed from count(*) by the
+    same clamp(ceil(log2(N/64)), 4, 16) formula the Spark side uses.
+    Possible because the LSH is deterministic: fixed-seed planes, and
+    the sign test reads the projection ROUNDED to 6 places on both
+    engines (an ulp-level fold-order difference can only flip a bucket
+    bit if the true projection sits within ~1e-15 of a rounding
     boundary — the same accepted residual as every rounded oracle
-    here)."""
+    here).  Pool bits above the active count are gated to 0, and the
+    multiprobe flip list is length-np via list_transform(range(np))."""
     planes = _hyperplanes()
     plane_lits = ["[" + ", ".join(repr(c) for c in p) + "]::DOUBLE[]" for p in planes]
     bucket = " + ".join(
-        f"(CASE WHEN round(list_dot_product(v, {plane_lits[i]}), 6) > 0"
+        f"(CASE WHEN {i} < (SELECT np FROM pp)"
+        f" AND round(list_dot_product(v, {plane_lits[i]}), 6) > 0"
         f" THEN {1 << i} ELSE 0 END)"
-        for i in range(_ANN_PLANES)
-    )
-    probe_list = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_ANN_PLANES)]
+        for i in range(_ANN_MAX_PLANES)
     )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pp AS (
+      SELECT CASE WHEN count(*) <= {_ANN_TARGET_BUCKET} THEN {_ANN_MIN_PLANES}
+                  ELSE least({_ANN_MAX_PLANES}, greatest({_ANN_MIN_PLANES},
+                       CAST(ceil(log2(count(*) / {_ANN_TARGET_BUCKET}.0)) AS INT)))
+             END AS np
+      FROM e
     ),
     b AS (
       SELECT vec_id, v, ({bucket}) AS bucket FROM e
     ),
     probes AS (
       SELECT vec_id AS query_id, v AS qv,
-             unnest([{probe_list}]) AS bucket
+             unnest(list_prepend(bucket,
+               list_transform(range((SELECT np FROM pp)),
+                              i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket
       FROM b WHERE vec_id < {_ANN_N_QUERIES}
     ),
     scored AS (
@@ -423,18 +492,25 @@ def _ann_oracle() -> str:
 @register("sim_search_ann", oracle=_ann_oracle())
 def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via random-projection LSH — the 100 TB
-    path for sim_search_topk.  Each vector gets a 4-bit bucket (sign of
-    the projection on 4 fixed hyperplanes, a narrow projection).  Probes
-    search their own bucket plus the 4 hamming-1 neighbors (multiprobe),
-    so each task scores ~5/16 of the corpus instead of all of it; at
-    100 TB, more planes → exponentially smaller candidate sets.  Output
-    schema matches sim_search_topk; recall vs the exact operator is
-    asserted in tests/test_llm_pipeline.py, and because the planes are
-    fixed constants the whole approximate pipeline — bucketing,
+    path for sim_search_topk.  Each vector gets an np-bit bucket (sign
+    of the projection on the first np planes of a fixed-seed pool,
+    a narrow projection) where np = clamp(ceil(log2(N/64)), 4, 16) —
+    derived from the corpus size so the expected bucket population
+    stays near 64 at ANY scale factor instead of freezing a
+    fixture-sized constant (:func:`_n_planes`; the oracle evaluates
+    the same formula from count(*)).  Probes search their own bucket
+    plus the np hamming-1 neighbors (multiprobe), so each task scores
+    ~(np+1)/2^np of the corpus instead of all of it.  Output schema
+    matches sim_search_topk; recall vs the exact operator is asserted
+    in tests/test_llm_pipeline.py, and because the plane pool is a
+    fixed constant the whole approximate pipeline — bucketing,
     multiprobe, scoring, ranking — is value-checked against the DuckDB
     oracle, not just rows-counted."""
     emb = load(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
+    # metadata-sized action (parquet count pushdown): the ACTIVE plane
+    # count must be known at plan-build time to emit that many sign
+    # bits; the oracle recomputes the same formula from count(*).
+    planes = _hyperplanes()[: _n_planes(emb.count())]
     e = emb.select(
         "vec_id",
         "label",
@@ -464,7 +540,7 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(_ANN_PLANES)
+                    for i in range(len(planes))
                 ],
             )
         ).alias("bucket"),

@@ -98,16 +98,15 @@ def test_sim_search_scores_bounded_and_self_excluded(spark, sf_dir):
 
 
 def test_connected_components_closes_chains(spark, tmp_path):
-    # A ~ B (one edit), B ~ C (one more edit), A !~ C directly once the
-    # chain drifts far enough; CC must still put all three in one
-    # component rooted at the minimum doc_id.
-    a = BASE
-    b = BASE.replace("merge", "join")
-    c = b.replace("batch", "micro").replace("sort", "shuffle")
+    # Sliding 20-token windows: adjacent docs share 19 of 21 distinct
+    # tokens (J = 19/21 ≈ 0.905 ≥ 0.9) but doc 1 vs doc 3 only share
+    # 18 of 22 (0.818 < 0.9) — no direct edge, so CC must close the
+    # chain and root all three at the minimum doc_id.
+    win = lambda k: " ".join(f"tok{i}" for i in range(k, k + 20))
     rows = [
-        (1, a, "en", "s", len(a)),
-        (2, b, "en", "s", len(b)),
-        (3, c, "en", "s", len(c)),
+        (1, win(0), "en", "s", 0),
+        (2, win(1), "en", "s", 0),
+        (3, win(2), "en", "s", 0),
         (9, OTHER, "en", "s", len(OTHER)),
     ]
     sf = _write_docs(spark, tmp_path, rows)
