@@ -66,7 +66,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mo,
            CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
-           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT)
              AS days_to_y2k,
            CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
@@ -85,7 +85,9 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(ts).cast("bigint").alias("yr"),
         F.month(ts).cast("bigint").alias("mo"),
         F.dayofweek(ts).cast("bigint").alias("dow"),
-        F.date_trunc("month", ts).alias("month_start"),
+        # DATE on both sides: Spark's date_trunc always yields TIMESTAMP
+        # while DuckDB >= 1.0 yields DATE for month granularity.
+        F.date_trunc("month", ts).cast("date").alias("month_start"),
         F.datediff(F.lit("2000-01-01").cast("date"), ts.cast("date"))
         .cast("bigint")
         .alias("days_to_y2k"),

@@ -344,14 +344,16 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_hypertable",
     oracle=f"""
     SELECT event_type,
-           date_trunc('day', ts) AS day,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
            date_trunc('hour', ts) AS hour,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            {_SQL_DSUM_VALUE} AS sum_value,
-           CAST(GROUPING(event_type) * 4 + GROUPING(date_trunc('day', ts)) * 2
+           CAST(GROUPING(event_type) * 4
+                + GROUPING(CAST(date_trunc('day', ts) AS DATE)) * 2
                 + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS gid
     FROM events
-    GROUP BY ROLLUP (event_type, date_trunc('day', ts), date_trunc('hour', ts))
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE),
+                     date_trunc('hour', ts))
     """,
 )
 def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +371,8 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     any merge order; grouping_id labels the level.
     """
     e = load(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
+    # DATE on both sides: DuckDB >= 1.0 returns DATE for day granularity.
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     hour = F.date_trunc("hour", F.col("ts")).alias("hour")
     return (
         e.select("event_type", day, hour, "value")
