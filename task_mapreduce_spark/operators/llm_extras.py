@@ -25,29 +25,86 @@ from task_mapreduce_spark.tables import load
 # dedup: SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 48          # bits 0..47 of xxhash64 → always-positive longs
+_SIMHASH_BITS = 48          # bits 0..47 of the md5-derived token hash
 _SIM_BANDS = 4              # hamming ≤ 3 ⇒ ≥ 1 of 4 bands identical (pigeonhole)
 _BAND_BITS = _SIMHASH_BITS // _SIM_BANDS
 _MAX_HAMMING = 3
-_MAX_SIM_BUCKET = 64
+
+# The token hash is the low 48 bits of md5 — portable: Spark computes
+# conv(substr(md5, 1, 12), 16, 10), DuckDB ('0x'||substr(md5, 1, 12))::BIGINT,
+# verified bit-identical (incl. unicode / empty string).  That makes the
+# WHOLE fingerprint oracle-computable, upgrading this key from rows-only
+# to full value-check: the oracle recomputes every fingerprint in SQL and
+# finds hamming≤3 pairs by (cheap integer) all-pairs at oracle scale,
+# while the Spark plan keeps the banded-LSH candidate generation that is
+# the 100 TB path.  Banding is lossless for hamming ≤ 3 (pigeonhole), so
+# both sides produce the identical pair set.
+_SIMHASH_BIT_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP_SQL = "\n             + ".join(
+    f"CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM tok
+    ),
+    s AS (
+      SELECT doc_id,
+             {_SIMHASH_BIT_SUMS}
+      FROM h GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             {_SIMHASH_FP_SQL}
+             AS fp
+      FROM s
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= {_MAX_HAMMING}
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    neigh AS (
+      SELECT a AS doc_id, MIN(b) AS min_nb, COUNT(*) AS n_dups
+      FROM sym GROUP BY a
+    )
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(n.min_nb, d.doc_id)) AS BIGINT)
+             AS cluster_id,
+           CAST(COALESCE(n.n_dups, 0) AS BIGINT) AS n_dups
+    FROM documents d LEFT JOIN neigh n USING (doc_id)
+    """
 
 
-@register("dedup_simhash")  # rows-only: engine-specific hash bits
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clustering.
+    """SimHash near-dup clustering — fully value-checked.
 
-    Per doc: hash each distinct token once (xxhash64), then for each of
-    48 bit positions take the sign of Σ±1 over tokens — a narrow
-    projection, zero shuffle.  Candidate pairs come from LSH-style
-    banding on 4×12-bit slices (hamming ≤ 3 guarantees a shared band by
-    pigeonhole), ONE groupBy — never an all-pairs join; verification is
-    ``bit_count(xor) ≤ 3`` on the 48-bit fingerprints.  Output mirrors
-    dedup_near_minhash: (doc_id, cluster_id, n_dups), one row per doc."""
+    Per doc: hash each distinct token once (low 48 bits of md5, the
+    same value on both engines), then for each of 48 bit positions take
+    the sign of Σ±1 over tokens — a narrow projection, zero shuffle.
+    Candidate pairs come from LSH-style banding on 4×12-bit slices
+    (hamming ≤ 3 guarantees a shared band by pigeonhole, so banding is
+    LOSSLESS), ONE groupBy — never an all-pairs join; verification is
+    ``bit_count(xor) ≤ 3`` on the 48-bit fingerprints.  The oracle
+    recomputes the identical fingerprints in SQL and takes the all-pairs
+    hamming join (fine at oracle scale; the banded plan is the 100 TB
+    path).  Output mirrors dedup_near_minhash: (doc_id, cluster_id,
+    n_dups), one row per doc."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.transform(
-            F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
         ).alias("hs"),
     )
     # bit b contribution: +1 if bit set else -1; simhash bit = sign of sum.
@@ -68,7 +125,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    fp = bit_sums.select("doc_id", fingerprint.alias("fp"))
+    # localCheckpoint: the fingerprint projection feeds BOTH sides of the
+    # bucket self-join below; checkpointing the narrow (doc_id, fp) frame
+    # computes the 48 bit-aggregates once instead of once per branch.
+    fp = bit_sums.select("doc_id", fingerprint.alias("fp")).localCheckpoint()
 
     band_structs = F.array(
         *[
@@ -84,27 +144,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = fp.select("doc_id", "fp", F.explode(band_structs).alias("bb")).select(
         "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
-    ids = F.array_sort(F.collect_list(F.struct("doc_id", "fp")))
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("x"), b.alias("y")),
-            ),
-        )
+    # Candidate pairs via a shuffle self-join on the band key, NOT an
+    # in-row combination expansion: a dense duplicate class (this corpus
+    # has 150+-doc hamming clusters) would otherwise either pile B²/2
+    # structs into one aggregate row or be silently dropped by a bucket
+    # cap — which is exactly what a rows-only check never caught.  The
+    # join spreads a hot band_key across tasks (AQE skew split at scale);
+    # the quadratic output within a true duplicate class is inherent to
+    # the exact degree semantics, not a plan artifact.
+    left = buckets.select(
+        F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"), "band", "band_key"
+    )
+    right = buckets.select(
+        F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"), "band", "band_key"
     )
     verified = (
-        buckets.groupBy("band", "band_key")
-        .agg(ids.alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_SIM_BUCKET))
-        .select(F.explode(combos).alias("p"))
-        .select(
-            F.col("p.x.doc_id").alias("a"),
-            F.col("p.y.doc_id").alias("b"),
-            F.bit_count(F.col("p.x.fp").bitwiseXOR(F.col("p.y.fp"))).alias("dist"),
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= _MAX_HAMMING
         )
-        .filter(F.col("dist") <= _MAX_HAMMING)
         .select("a", "b")
         .distinct()
     )

@@ -163,11 +163,100 @@ def minhash_edges(d: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_near_minhash")  # rows-only: LSH recall is probabilistic
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: minhash + LSH banding + exact verify.
+def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
+    """EXACT shingle-Jaccard ≥ _JACCARD_T edge list (a < b) via the
+    lossless AllPairs prefix filter over the global shingle vocabulary:
+    each doc joins only on its ⌊n/2⌋+1 RAREST shingles (doc-frequency
+    asc, shingle asc — for t = 0.5 any qualifying pair must share a
+    prefix shingle), plus the integer size bound 2·min ≥ max, then
+    exact verification on candidates only.  This is the ground-truth
+    side of dedup_near_minhash's certificate — never an all-pairs join.
+    ``explode_outer`` per the repo invariant (array_distinct shingles
+    are not size-preserving); the inner frequency join drops nulls."""
+    tok = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("tdf"), F.asc("token"))
+    pref = (
+        tok.join(freq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.expr("n div 2") + 1)
+        .select("doc_id", "n", "token")
+    )
+    pa = pref.select(F.col("doc_id").alias("a"), "token", F.col("n").alias("n_a"))
+    pb = pref.select(F.col("doc_id").alias("b"), "token", F.col("n").alias("n_b"))
+    cand = (
+        pa.join(pb, "token")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (2 * F.least("n_a", "n_b") >= F.greatest("n_a", "n_b"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("a", "b")
+    )
 
-    Pipeline (all distributed, no cross join):
+
+_MINHASH_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      -- bigrams over the RAW token sequence (dedup applies to the
+      -- shingle set, not the tokens), matching Spark's _shingles
+
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_distinct(list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1]))
+             ELSE list_distinct(toks) END AS shingles
+      FROM t
+    ),
+    ex AS (
+      SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+    ),
+    -- inverted-index join: |A ∩ B| = COUNT(*) over shared shingles
+    -- (shingle lists are distinct), so J ≥ 1/2 ⇔ 3c ≥ n_a + n_b —
+    -- integer-exact and ~60× faster than all-pairs list_intersect
+    e AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      WHERE 2 * least(x.n, y.n) >= greatest(x.n, y.n)
+      GROUP BY x.doc_id, y.doc_id, x.n, y.n
+      HAVING 3 * COUNT(*) >= x.n + y.n
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    neigh AS (
+      SELECT a AS doc_id, MIN(b) AS min_nb, COUNT(*) AS n_dups
+      FROM sym GROUP BY a
+    )
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(n.min_nb, d.doc_id)) AS BIGINT)
+             AS cluster_id,
+           CAST(COALESCE(n.n_dups, 0) AS BIGINT) AS n_dups,
+           TRUE AS lsh_consistent
+    FROM documents d LEFT JOIN neigh n USING (doc_id)
+    """
+
+
+@register("dedup_near_minhash", oracle=_MINHASH_ORACLE)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: minhash + LSH banding + exact verify, with
+    an exact-ground-truth certificate (agg_approx_distinct's pattern).
+
+    LSH pipeline (all distributed, no cross join):
       1. shingle: word bigrams per doc (set semantics);
       2. signature: 32 seeded-xxhash64 min-hashes per doc — a narrow
          projection (array_min ∘ transform), zero shuffle;
@@ -176,16 +265,37 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. candidates: one groupBy on (band, band_hash), pairs expanded
          in-row from the per-bucket id list (capped at _MAX_BUCKET);
       5. verify: exact Jaccard over shingle sets for candidates only;
-      6. cluster id: min doc_id over verified neighbors (1-hop; full
-         transitive closure would be iterative — at 100 TB run
-         connected components over the verified-pair edge list).
+      6. cluster id: min doc_id over verified neighbors (1-hop).
 
-    Returns one row per doc (doc_id, cluster_id, n_dups) so the
-    rows-only check always sees data even when no near-dups exist.
-    Golden pytest: tests/test_llm_pipeline.py plants true near-dups.
+    The value-checked columns are the EXACT 1-hop clustering over the
+    Jaccard ≥ 0.5 relation (computed via the lossless prefix filter,
+    :func:`_exact_shingle_pairs` — the oracle reproduces it by an
+    all-pairs join at oracle scale), plus ``lsh_consistent``: because
+    every LSH edge passes the same exact-Jaccard verify, the LSH edge
+    set is a SUBSET of ground truth, so its min-label can only be ≥ and
+    its degree ≤ — the oracle demands TRUE, which certifies the LSH
+    verify stage end-to-end.  LSH recall itself stays golden-tested
+    (tests/test_llm_pipeline.py).  At 100 TB the production plan is the
+    LSH columns alone — drop the exact side and its candidate join goes
+    with it, exactly like agg_approx_distinct drops its countDistinct.
     """
     d = load(spark, sf_dir, "documents")
-    return edges_to_clusters(d, minhash_edges(d))
+    sh = _shingles(d)
+    exact = edges_to_clusters(d, _exact_shingle_pairs(sh))
+    lsh = edges_to_clusters(d, minhash_edges(d)).select(
+        F.col("doc_id").alias("l_doc_id"),
+        F.col("cluster_id").alias("l_cluster_id"),
+        F.col("n_dups").alias("l_n_dups"),
+    )
+    return exact.join(lsh, exact.doc_id == lsh.l_doc_id).select(
+        "doc_id",
+        "cluster_id",
+        "n_dups",
+        (
+            (F.col("l_cluster_id") >= F.col("cluster_id"))
+            & (F.col("l_n_dups") <= F.col("n_dups"))
+        ).alias("lsh_consistent"),
+    )
 
 
 def edges_to_clusters(d: DataFrame, verified: DataFrame) -> DataFrame:

@@ -117,9 +117,16 @@ def test_connected_components_closes_chains(spark, tmp_path):
 
 
 def test_simhash_finds_planted_near_dup(spark, tmp_path):
+    # SimHash needs a LONG document for a one-word edit to stay within
+    # hamming 3: each of the 48 bit-sums aggregates ±1 per distinct
+    # token, so with 300 tokens a single swap flips only the sums that
+    # sit within ±2 of zero (verified: hamming(LONG, NEAR_LONG) = 2
+    # under the md5-derived token hash, OTHER is 24 bits away).
+    long_doc = " ".join(f"w{i}" for i in range(300))
+    near_long = long_doc.replace("w5 ", "zz ", 1)
     rows = [
-        (1, BASE, "en", "src0", len(BASE)),
-        (2, NEAR, "en", "src0", len(NEAR)),
+        (1, long_doc, "en", "src0", len(long_doc)),
+        (2, near_long, "en", "src0", len(near_long)),
         (3, OTHER, "en", "src1", len(OTHER)),
     ]
     sf = _write_docs(spark, tmp_path, rows)
