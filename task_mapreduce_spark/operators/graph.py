@@ -136,3 +136,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.select("node", F.col("rank").cast("bigint").alias("rank_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the document-similarity graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    verts AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    cnt AS (
+      SELECT doc_id, COUNT(*) AS n_triangles FROM verts GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM documents d LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count over the exact-Jaccard similarity
+    graph (the same deterministic edge set dedup_ngram_jaccard /
+    dedup_cluster_cc are built on) — the classic cohesion metric that
+    separates genuine duplicate CLUSTERS (dense, many triangles) from
+    chains of pairwise-similar docs (no triangles).
+
+    The MapReduce-textbook formulation, as two equi-joins: every edge
+    is oriented low-id → high-id, so each triangle x<y<z is formed
+    exactly once by joining (x,y)⋈(y,z) on the middle vertex and
+    closing with (x,z).  No cross join and no per-vertex adjacency
+    list in one row; at 100 TB the standard refinement is orienting
+    edges by DEGREE instead of id (bounds the join fan-out per vertex
+    by sqrt(|E|)) — id-orientation keeps the fixture output oracle-
+    reproducible, and the swap is a one-line change to the orientation
+    key.  The edge list is localCheckpoint'd: it feeds three join
+    branches, and recomputing the prefix-filtered Jaccard pipeline per
+    branch would triple the dominant cost."""
+    from task_mapreduce_spark.operators.llm_extras import (
+        _doc_token_sets,
+        jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    e = jaccard_pairs(_doc_token_sets(d)).select("a", "b").localCheckpoint()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    verts = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionByName(tri.select(F.col("y").alias("doc_id")))
+        .unionByName(tri.select(F.col("z").alias("doc_id")))
+    )
+    cnt = verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        d.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+    )

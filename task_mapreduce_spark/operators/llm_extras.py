@@ -1417,3 +1417,64 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained", "container", containment.alias("containment"))
         .filter(F.col("containment") >= _CONTAIN_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# text: token entropy / lexical diversity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+    ),
+    tot AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_types FROM tf GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+           CAST(ANY_VALUE(n_types) AS BIGINT) AS n_types,
+           round(-SUM((c / CAST(n AS DOUBLE))
+                      * log2(c / CAST(n AS DOUBLE))), 6) AS entropy,
+           round(ANY_VALUE(n_types) / CAST(ANY_VALUE(n) AS DOUBLE), 9) AS ttr
+    FROM tf JOIN tot USING (doc_id)
+    GROUP BY tf.doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy and type-token ratio — the
+    standard lexical-diversity pair of a corpus quality pipeline
+    (template/boilerplate text scores low entropy, natural prose high).
+
+    Shape: explode → term-frequency groupBy on (doc_id, token) → doc
+    totals → one more doc-keyed aggregate.  All three aggregations hash
+    on doc_id (or its superset), so at 100 TB this is one shuffle of
+    the token stream followed by re-partition-free doc aggregates; no
+    Python, no arrays carried between stages.  The entropy fold is a
+    float sum of ≤ vocabulary-size terms — rounded to 6 decimals on
+    both engines per the repo's transcendental-fold discipline (term
+    order across engines differs at the ulp level only)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("n_types").cast("bigint").alias("n_types"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+            F.round(
+                (F.max("n_types") / F.max("n").cast("double")), 9
+            ).alias("ttr"),
+        )
+    )

