@@ -236,10 +236,12 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
             F.col("band").alias("jb"),
             *[F.col(f"w{w}").alias(f"b{w}") for w in range(nw)],
         )
-        overlap = None
+        # lit(0) seed keeps the empty-corpus case (nw == 0) executable
+        overlap = F.lit(0)
         for w in range(nw):
-            t = F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
-            overlap = t if overlap is None else overlap + t
+            overlap = overlap + F.bit_count(
+                F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))
+            )
         return (
             pa.join(pb, "jb")
             .filter(

@@ -321,3 +321,41 @@ def test_containment_prefix_finds_planted_subset(spark, tmp_path):
     # the dominant block contributes nothing: unique rare tokens keep
     # every prefix probe out of the common postings
     assert all(k == (501, 500) for k in got)
+
+
+def test_text_entropy_bounds_and_degenerate_doc(spark, tmp_path):
+    import math
+
+    rows = [
+        (1, "a a a a a a", "en", "s", 11),          # one type -> H = 0, ttr = 1/6
+        (2, "a b c d e f g h", "en", "s", 15),      # uniform -> H = log2(8)
+        (3, "a a b b c c c c", "en", "s", 15),      # skewed -> 0 < H < log2(3)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["text_entropy"](spark, sf).collect()}
+    assert out[1]["entropy"] == 0.0 and abs(out[1]["ttr"] - 1 / 6) < 1e-9
+    assert abs(out[2]["entropy"] - 3.0) < 1e-6 and out[2]["ttr"] == 1.0
+    assert 0.0 < out[3]["entropy"] < math.log2(3)
+    for r in out.values():
+        assert r["entropy"] <= math.log2(r["n_types"]) + 1e-6
+        assert 0 < r["ttr"] <= 1
+
+
+def test_triangles_closed_clusters_vs_open_chains(spark, tmp_path):
+    # docs 1-3: identical text -> all three pairwise edges -> one triangle.
+    # docs 5-7: the sliding-window chain from the CC test — (5,6) and
+    # (6,7) are edges but (5,7) is not, so NO triangle.
+    tri = " ".join(f"t{i}" for i in range(25))
+    win = lambda k: " ".join(f"tok{i}" for i in range(k, k + 20))
+    rows = [
+        (1, tri, "en", "s", len(tri)),
+        (2, tri, "en", "s", len(tri)),
+        (3, tri, "en", "s", len(tri)),
+        (5, win(0), "en", "s", 0),
+        (6, win(1), "en", "s", 0),
+        (7, win(2), "en", "s", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r["n_triangles"] for r in QUERIES["graph_triangles"](spark, sf).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[5] == out[6] == out[7] == 0

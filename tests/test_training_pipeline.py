@@ -165,3 +165,26 @@ def test_anomaly_mad_outliers_bounded(spark, sf_dir):
         # robust screen: by construction at most half the points can sit
         # beyond 3 MADs of the median (MAD is the deviations' median)
         assert r["n_outliers"] <= r["n_events"] / 2
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
+    rows = QUERIES["scd2_dimension"](spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_events_total = 0
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        # versions dense from 1; exactly one open (current) interval
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for prev, nxt in zip(vs, vs[1:]):
+            # intervals chain with no gaps or overlaps
+            assert prev["valid_to"] == nxt["valid_from"]
+            # run collapsing: consecutive versions change the attribute
+            assert prev["event_type"] != nxt["event_type"]
+        n_events_total += sum(r["n_events"] for r in vs)
+    n_events = load(spark, sf_dir, "events").count()
+    assert n_events_total == n_events  # every change event lands in a run
