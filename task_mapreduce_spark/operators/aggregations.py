@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from task_mapreduce_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
 from task_mapreduce_spark.registry import register
@@ -371,4 +372,59 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("exact_users"))
             <= F.greatest(F.lit(2), 0.10 * F.col("exact_users"))
         ).alias("merged_within_10pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode — deterministic per-group mode (most frequent value)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus, l_quantity
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                   ORDER BY n DESC, l_quantity ASC) AS rn
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus, l_quantity AS mode_qty,
+           CAST(n AS BIGINT) AS mode_n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break (highest count,
+    then smallest value) — built-in ``F.mode`` is explicitly
+    tie-nondeterministic, so the engine expresses mode as the composable
+    count-then-argmax shape instead: groupBy (group, value) count, then
+    a row_number window over the collapsed counts.
+
+    100 TB: the (group, value) count partial-aggregates map-side, so
+    the shuffle carries at most |groups|·|distinct values| rows — for a
+    measure with bounded cardinality (here: quantities 1..50) that is
+    metadata-sized regardless of fact rows, and the argmax window runs
+    entirely on the collapsed table.  Every rank orders by a unique
+    (n, value) pair within its group, per the repo's window-determinism
+    invariant."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").cast("bigint").alias("mode_n"),
+        )
     )

@@ -1478,3 +1478,137 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ttr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: fuzzy edit-distance (record-linkage two-stage: block + verify)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_fuzzy_edit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS token
+      FROM t
+    ),
+    cand AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING 19 * COUNT(*) >= 9 * (ANY_VALUE(a.n) + ANY_VALUE(b.n))
+    )
+    SELECT c.a, c.b,
+           CAST(c.i AS DOUBLE) / (c.n_a + c.n_b - c.i) AS jaccard,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.a
+    JOIN t tb ON tb.doc_id = c.b
+    WHERE 10 * levenshtein(ta.text, tb.text)
+            <= greatest(length(ta.text), length(tb.text))
+    """,
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) dedup, the record-linkage two-stage shape:
+    cheap blocking first, the expensive exact verify only on survivors.
+
+    Contract: pairs (a < b) within (lang, source) whose token-set
+    Jaccard is ≥ 0.9 AND whose Levenshtein distance is ≤ 10% of the
+    longer text.  Stage 1 reuses :func:`jaccard_pairs` verbatim (the
+    lossless PPJoin prefix filter + exact set verify), so the O(len²)
+    Levenshtein DP only ever runs on the verified near-dup pairs, never
+    the corpus cross product — the stage that separates docs that share
+    a vocabulary (high Jaccard, sets ignore order) from docs that are
+    genuinely the same text edited (small edit distance).  Both filters
+    are integer/exact arithmetic, so the emitted (jaccard, edit_dist)
+    certificate is bit-identical across engines and the key is fully
+    value-checked.  The Jaccard gate is load-bearing for cost, not just
+    semantics: at 0.8 this fixture's deliberately near-duplicated
+    corpus yields 38k survivor pairs and a 30 s DP tail; at 0.9 it is
+    ~1k pairs and the DP is noise.
+
+    100 TB: two linear token shuffles for the prefix index, an equi-join
+    on (block, prefix-token) with rare-token-bounded buckets, then a
+    per-pair verify — the same growth law as dedup_ngram_jaccard, plus
+    a constant-factor DP on ~doc-length strings for verified pairs
+    only."""
+    d = load(spark, sf_dir, "documents")
+    verified = jaccard_pairs(_doc_token_sets(d))
+    ta = d.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        verified.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("edit_dist", lev.cast("bigint"))
+        .filter(
+            10 * F.col("edit_dist")
+            <= F.greatest(F.length("text_a"), F.length("text_b"))
+        )
+        .select("a", "b", "jaccard", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality: corpus-unigram negative log-likelihood (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(-ln(c / CAST(n AS DOUBLE))), 6) AS nll_r
+    FROM tok JOIN freq USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus
+    unigram language model — the classic cheap perplexity proxy used to
+    rank training documents (CCNet-style): repetitive boilerplate made
+    of common tokens scores low, rare-token gibberish scores high.
+
+    Shape: one token shuffle to build the corpus unigram table, an
+    equi-join of the token stream against it (shuffle by token), then a
+    doc-keyed average.  The corpus total is a 1-row aggregate broadcast
+    via crossJoin (same pattern as text_tfidf's document count).  The
+    per-token −ln(p) fold is rounded to 6 decimals after averaging on
+    both engines, per the repo's transcendental-fold discipline.
+
+    100 TB: the unigram table is vocabulary-sized (≪ corpus); with a
+    skewed vocabulary the token-join inherits Spark's AQE skew split,
+    and at extreme scale the model table would be broadcast instead —
+    both sides of that choice keep this exact plan shape."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    nll = -F.log(F.col("c") / F.col("n").cast("double"))
+    return (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("nll_r"),
+        )
+    )

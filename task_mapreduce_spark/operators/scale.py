@@ -404,3 +404,94 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y8").cast("bigint").alias("y_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom — Bloom-filter-prefiltered join (semi-join pushdown at scale)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 14       # 16,384 bits = 256 longs = a 2 KB broadcast
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3                # hash functions; FPP ≈ (1-e^(-kn/m))^k
+
+
+def _bloom_test(key_sql: str, seed: int) -> "F.Column":
+    """Membership probe: bit (xxhash64(key, seed) mod m) is set in the
+    broadcast ``bloom`` array of 64-bit words."""
+    pos = f"pmod(xxhash64({key_sql}, {seed}), {_BLOOM_BITS})"
+    return F.expr(
+        f"(element_at(bloom, CAST({pos} DIV 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+    )
+
+
+@register(
+    "join_bloom",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join with an explicit Bloom-filter pre-filter: revenue by order
+    priority for orders whose customer has an account balance > 9000.
+
+    The technique this key isolates: when the dim side is too large to
+    broadcast as ROWS but its qualifying KEY SET fits a few KB as bits,
+    build a Bloom filter over the dim keys (3 linear aggregations:
+    hash→bit positions→bit_or per word), broadcast the 256-long array,
+    and drop non-matching fact rows BEFORE the join shuffle.  False
+    positives are removed by the real equi-join that follows, so the
+    result is exact — the bloom only prunes shuffle volume (at TPC-H
+    selectivity ~10% of customers qualify, so ~90% of the orders scan
+    never enters the exchange).  This is the manual, engine-visible
+    form of Spark's own runtime-filter/semi-join pushdown, kept
+    explicit so the plan can be asserted; xxhash64 is Spark-native and
+    the filter never needs oracle parity because it is semantically
+    invisible.
+
+    100 TB: bloom build is a narrow scan of the dim keys; m/k tune by
+    the standard FPP formula (2 KB here; a 1 B-key dim wants ~GB-scale
+    bits, at which point Spark's built-in bloom on a sampled key range
+    or a partitioned semi-join takes over — SCALE.md discusses the
+    crossover)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+    bits = cust.select(F.explode(F.array(*pos_cols)).alias("pos")).select(
+        F.expr("CAST(pos DIV 64 AS INT)").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    words = bits.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    bloom = words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+            lambda w: F.coalesce(
+                F.try_element_at(F.col("m"), w), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+    o = load(spark, sf_dir, "orders")
+    pre = o.crossJoin(F.broadcast(bloom))
+    for i in range(_BLOOM_K):
+        pre = pre.filter(_bloom_test("o_custkey", i))
+    return (
+        pre.join(cust, pre["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

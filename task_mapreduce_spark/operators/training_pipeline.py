@@ -952,3 +952,67 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov model over event streams)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    s AS (
+      SELECT event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS from_type
+      FROM t
+    ),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM s WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 9)
+             AS p_r
+    FROM c
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every (from_type → to_type) step, its count and conditional
+    probability P(to | from) — the standard behavioural-model /
+    next-event-prediction feature and a sequence-mining primitive.
+
+    Shape: ONE shuffle+sort on user_id feeds the lag; the pair counts
+    then hash-aggregate (map-side partials collapse each partition to
+    ≤ |types|² rows), and the row-normalizing window runs on the
+    collapsed |types|²-row table — metadata-sized at any corpus scale.
+    The unique event_id breaks timestamp ties so the sequence, and
+    therefore every count, is deterministic under any partitioning."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = e.select("user_id", "event_id", "event_type", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = t.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    c = s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n") / F.sum("n").over(wf).cast("double"), 9
+        ).alias("p_r"),
+    )

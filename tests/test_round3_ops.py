@@ -1,0 +1,110 @@
+"""Semantic-invariant tests for the round-3 operator additions:
+fuzzy edit-distance dedup, unigram-NLL quality scoring, the
+bloom-prefiltered join, per-group mode, and the event-transition
+matrix.  Oracle parity at sf0.001/sf0.01 is covered by the global
+parity sweep; these tests pin the properties parity alone can't see
+(certificate bounds, bloom transparency, probability normalization)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from task_mapreduce_spark.registry import QUERIES
+from task_mapreduce_spark.tables import load
+
+
+def test_fuzzy_edit_certificates_hold(spark, sf_dir):
+    rows = QUERIES["dedup_fuzzy_edit"](spark, sf_dir).collect()
+    assert rows, "fixture plants near-duplicates; fuzzy dedup must find some"
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["jaccard"] >= 0.9
+        assert r["edit_dist"] >= 0
+
+
+def test_fuzzy_edit_relative_bound(spark, sf_dir):
+    # re-derive the length bound from the source texts: every emitted
+    # pair's edit distance is <= 10% of the longer text
+    out = QUERIES["dedup_fuzzy_edit"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    ta = d.select(F.col("doc_id").alias("a"), F.length("text").alias("len_a"))
+    tb = d.select(F.col("doc_id").alias("b"), F.length("text").alias("len_b"))
+    bad = (
+        out.join(ta, "a")
+        .join(tb, "b")
+        .filter(10 * F.col("edit_dist") > F.greatest("len_a", "len_b"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_perplexity_scores_every_doc(spark, sf_dir):
+    out = QUERIES["quality_perplexity"](spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    # -ln(p) >= 0 for p <= 1, and a token appearing at all has p > 0
+    assert out.filter(F.col("nll_r") < 0).count() == 0
+    # common-token boilerplate must score strictly below the corpus max
+    mm = out.agg(F.min("nll_r").alias("lo"), F.max("nll_r").alias("hi")).first()
+    assert mm["lo"] < mm["hi"]
+
+
+def test_bloom_join_is_transparent(spark, sf_dir):
+    # the bloom prefilter must be semantically invisible: same result as
+    # the plain join it accelerates
+    got = {
+        (r["o_orderpriority"], r["n_orders"], r["revenue"])
+        for r in QUERIES["join_bloom"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    from task_mapreduce_spark.functions.exact import dsum
+
+    want = {
+        (r["o_orderpriority"], r["n_orders"], r["revenue"])
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_mode_is_the_argmax_count(spark, sf_dir):
+    out = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["mode_qty"], r["mode_n"])
+        for r in QUERIES["agg_mode"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy("l_returnflag", "l_linestatus", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    best: dict = {}
+    for r in counts:
+        k = (r["l_returnflag"], r["l_linestatus"])
+        cand = (r["n"], -r["l_quantity"])  # max count, then min value
+        if k not in best or cand > best[k][0]:
+            best[k] = (cand, r["l_quantity"], r["n"])
+    assert set(out) == set(best)
+    for k, (_, qty, n) in best.items():
+        assert out[k] == (qty, n), f"group {k}: {out[k]} != {(qty, n)}"
+
+
+def test_transitions_rows_normalize(spark, sf_dir):
+    out = QUERIES["events_transitions"](spark, sf_dir)
+    sums = out.groupBy("from_type").agg(F.sum("p_r").alias("s")).collect()
+    assert sums
+    for r in sums:
+        # each row of the transition matrix sums to 1 (up to the 1e-9
+        # per-cell rounding, across <= |types| cells)
+        assert abs(r["s"] - 1.0) < 1e-7, r
+    # n is consistent: total transitions = total events - one per user
+    e = load(spark, sf_dir, "events")
+    want = e.count() - e.select("user_id").distinct().count()
+    got = out.agg(F.sum("n")).first()[0]
+    assert got == want
