@@ -428,3 +428,92 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("mode_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot_melt — long-form reshape (the inverse of agg_pivot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_melt",
+    oracle=f"""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('val')} AS total,
+           MIN(val) AS lo,
+           MAX(val) AS hi
+    FROM long GROUP BY measure
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt), the inverse of ``agg_pivot``: the four
+    lineitem measures become (measure, value) rows, then a per-measure
+    summary — the shape every "profile all metrics with one plan" job
+    uses.  ``df.unpivot`` expands in-row (an Expand node, 4 rows out per
+    row in, no shuffle), and the downstream aggregate partial-aggregates
+    map-side to 4 groups, so the exchange carries a handful of rows
+    regardless of fact size.  Decimal-exact sums per the float-sum
+    invariant; min/max are exact doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("val").alias("total"),
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_cov — bivariate statistics per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(corr(l_quantity, l_discount), 6) AS corr_qd,
+           round(covar_samp(l_quantity, l_discount), 9) AS cov_s_qd,
+           round(covar_pop(l_quantity, l_discount), 9) AS cov_p_qd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate moments per group: Pearson correlation and sample /
+    population covariance — the statistics a feature-selection or
+    drift-monitoring pass computes over every numeric column pair.
+
+    All four are single-pass mergeable aggregates (Spark and DuckDB both
+    use co-moment updates), so the plan is an ordinary partial+final
+    hash-agg — no second scan, no row buffering.  The engines' merge
+    orders differ at the ulp level, so outputs are rounded: corr is
+    normalized to [−1, 1] (6 decimals ≫ the drift), and the covariances
+    here pair quantity with discount (magnitude ≲ 1), keeping 9-decimal
+    rounding far above the noise floor while still exercising the
+    co-moment path."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 9).alias("cov_s_qd"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 9).alias("cov_p_qd"),
+    )

@@ -289,3 +289,36 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "packed"
         ),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & o_custkey AS BIGINT) AS k_and,
+           CAST(o_orderkey | o_custkey AS BIGINT) AS k_or,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS k_xor,
+           CAST(~o_orderkey AS BIGINT) AS k_not,
+           CAST((o_orderkey & 15) << 2 AS BIGINT) AS k_shl,
+           CAST(o_orderkey >> 3 AS BIGINT) AS k_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS k_pop
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: and/or/xor/not, shifts, popcount — the
+    primitives every hash/bitmap/bloom operator in the engine builds on
+    (join_bloom's bit test, simhash's band split, delta bitmaps).  All
+    integer ops, bit-identical by definition across engines."""
+    o = load(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(c).cast("bigint").alias("k_and"),
+        k.bitwiseOR(c).cast("bigint").alias("k_or"),
+        k.bitwiseXOR(c).cast("bigint").alias("k_xor"),
+        F.bitwise_not(k).cast("bigint").alias("k_not"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 2).cast("bigint").alias("k_shl"),
+        F.shiftright(k, 3).cast("bigint").alias("k_shr"),
+        F.bit_count(k).cast("bigint").alias("k_pop"),
+    )

@@ -201,3 +201,32 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per customer — the distribution-rank
+    half of the ranking family (win_rank covers the ordinal half).
+    Both are integer-ratio functions ((rank−1)/(n−1), rn/n), so with the
+    unique (totalprice, orderkey) order key the doubles are single IEEE
+    divisions of integers — bit-identical across engines, no rounding
+    needed.  Same single-shuffle window shape as win_rank."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

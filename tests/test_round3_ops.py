@@ -108,3 +108,44 @@ def test_transitions_rows_normalize(spark, sf_dir):
     want = e.count() - e.select("user_id").distinct().count()
     got = out.agg(F.sum("n")).first()[0]
     assert got == want
+
+
+def test_distribution_ranks_are_ratios(spark, sf_dir):
+    out = QUERIES["win_distribution"](spark, sf_dir)
+    # cume_dist in (0, 1]; percent_rank in [0, 1]; pr <= cd always
+    assert out.filter((F.col("cd") <= 0) | (F.col("cd") > 1)).count() == 0
+    assert out.filter((F.col("pr") < 0) | (F.col("pr") > 1)).count() == 0
+    assert out.filter(F.col("pr") > F.col("cd")).count() == 0
+
+
+def test_melt_preserves_mass(spark, sf_dir):
+    out = {r["measure"]: r for r in QUERIES["unpivot_melt"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert set(out) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    for m, r in out.items():
+        assert r["n"] == n
+        got = li.agg(F.min(m), F.max(m)).first()
+        assert (r["lo"], r["hi"]) == (got[0], got[1])
+
+
+def test_corr_bounds(spark, sf_dir):
+    for r in QUERIES["agg_corr_cov"](spark, sf_dir).collect():
+        assert -1.0 <= r["corr_qp"] <= 1.0
+        assert -1.0 <= r["corr_qd"] <= 1.0
+        # sample covariance = n/(n-1) * population covariance
+        assert abs(r["cov_s_qd"] * (r["n"] - 1) - r["cov_p_qd"] * r["n"]) < 1e-4
+
+
+def test_bitwise_roundtrip(spark, sf_dir):
+    # x == (x & y) | (x & ~y): verify the family composes correctly
+    out = QUERIES["fn_bitwise"](spark, sf_dir)
+    li = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = out.join(li, "o_orderkey")
+    bad = j.filter(
+        F.col("k_and").bitwiseOR(
+            F.col("o_orderkey").bitwiseAND(F.bitwise_not(F.col("o_custkey")))
+        )
+        != F.col("o_orderkey")
+    ).count()
+    assert bad == 0
