@@ -1541,7 +1541,14 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a constant-factor DP on ~doc-length strings for verified pairs
     only."""
     d = load(spark, sf_dir, "documents")
-    verified = jaccard_pairs(_doc_token_sets(d))
+    # The verified pair list is tiny in BYTES but heavy in CPU (each row
+    # costs an O(len_a·len_b) DP), so AQE's byte-based coalescing would
+    # squeeze it onto one task and serialize the whole DP phase (12 s →
+    # 3 s at sf0.1).  An explicit-count repartition is exempt from AQE
+    # coalescing and spreads the DP across the cluster.
+    verified = jaccard_pairs(_doc_token_sets(d)).repartition(
+        spark.sparkContext.defaultParallelism, "a", "b"
+    )
     ta = d.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     lev = F.levenshtein("text_a", "text_b")
