@@ -1,6 +1,7 @@
 """Operator modules; importing them populates the registry."""
 
 from task_mapreduce_spark.operators import aggregations  # noqa: F401
+from task_mapreduce_spark.operators import corpus_tools  # noqa: F401
 from task_mapreduce_spark.operators import graph  # noqa: F401
 from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import llm_extras  # noqa: F401
@@ -10,6 +11,7 @@ from task_mapreduce_spark.operators import relational  # noqa: F401
 from task_mapreduce_spark.operators import scalars  # noqa: F401
 from task_mapreduce_spark.operators import scale  # noqa: F401
 from task_mapreduce_spark.operators import sql_surface  # noqa: F401
+from task_mapreduce_spark.operators import tpch_extra  # noqa: F401
 from task_mapreduce_spark.operators import training_pipeline  # noqa: F401
 from task_mapreduce_spark.operators import udfs  # noqa: F401
 from task_mapreduce_spark.operators import windows  # noqa: F401

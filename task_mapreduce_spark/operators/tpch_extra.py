@@ -1,0 +1,271 @@
+"""TPC-H round-out: Q4, Q6, Q14, Q19 shapes over the fixture star
+schema (FIXTURES.md columns only — Q4/Q19 substitute the missing
+commit/receipt-date and container columns with equivalent predicates on
+the columns the fixtures do carry; the *plan shapes* the queries exist
+to exercise are unchanged).
+
+Why these four complete the TPC-H story already in the repo
+(q1/q3/q5/q10/q18):
+
+- ``tpch_q6``  — the pure scan-predicate-aggregate: zero joins, one
+  partial+final agg; the benchmark's measure of raw scan throughput.
+  At 100 TB this is the key that proves predicate pushdown + column
+  pruning reach the parquet reader (tests/test_plans.py pins both).
+- ``tpch_q14`` — fact⋈small-dim with a conditional aggregate ratio;
+  ``part`` broadcasts, so the plan is scan→broadcast-hash-join→agg
+  with NO shuffle before the single-row final agg.
+- ``tpch_q4``  — EXISTS decorrelated to a left-semi join whose
+  condition mixes both sides' columns (l_shipdate > o_orderdate + 90
+  days): the semi join dedups matches engine-side instead of a
+  DISTINCT-after-inner-join.
+- ``tpch_q19`` — the OR-of-ANDs predicate across two tables: Catalyst
+  factors the brand IN-set down to the ``part`` scan and the quantity
+  envelope down to the ``lineitem`` scan, so both scans prune before
+  the broadcast join evaluates the full disjunction.
+
+All money sums go through the fixed-scale decimal discipline of
+``functions/exact.py`` (order-independent, bit-identical to DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from task_mapreduce_spark.functions.exact import dsum_exact, sql_dsum_exact
+from task_mapreduce_spark.operators.joins import _REVENUE_SQL, revenue_col
+from task_mapreduce_spark.registry import register
+from task_mapreduce_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# tpch_q6 — forecasting revenue change (scan + predicate + agg, no join)
+# ---------------------------------------------------------------------------
+
+_Q6_DISC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))"
+)
+
+
+def _q6_disc_col() -> F.Column:
+    """Python twin of :data:`_Q6_DISC_SQL` (l_extendedprice * l_discount)."""
+    return F.col("l_extendedprice").cast("decimal(12,4)") * F.col(
+        "l_discount"
+    ).cast("decimal(6,4)")
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum_exact(_Q6_DISC_SQL)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would have been earned without the
+    discount — a single filtered scan folded to one row.
+
+    100 TB shape: the three predicates and the two-column projection
+    all reach the parquet scan (PushedFilters + ReadSchema), so the
+    stage reads a fraction of one column-chunk stripe per row group
+    that survives min/max pruning on ``l_shipdate``.  The aggregate is
+    a partial-per-partition + single final merge — no shuffle of data,
+    only of one 2-field partial row per task."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_exact(_q6_disc_col()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q14 — promotion effect (broadcast dim join + conditional agg ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           ROUND(100.0
+                 * COALESCE({sql_dsum_exact(
+                     f"CASE WHEN p.p_type = 'PROMO' THEN {_REVENUE_SQL} END")}, 0)
+                 / {sql_dsum_exact(_REVENUE_SQL)}, 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 per month: the share of 1996 revenue that came from
+    PROMO parts (the fixture's ``p_type`` domain is flat, so the
+    classic ``LIKE 'PROMO%'`` is an equality here).
+
+    100 TB shape: ``part`` is the small side and broadcasts — lineitem
+    never shuffles; the only exchange carries 12 per-month partial
+    pairs per task.  The conditional sum rides the SAME join pass as
+    the total (one scan, two accumulators), not two joins.  Month
+    truncs are cast to DATE on both engines (DuckDB build drift —
+    CLAUDE.md invariant)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = revenue_col()
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.coalesce(
+                    dsum_exact(F.when(F.col("p_type") == "PROMO", rev)),
+                    F.lit(0.0),
+                )
+                / dsum_exact(rev),
+                6,
+            ).alias("promo_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q4 — order-priority checking (EXISTS → left-semi with mixed condition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders per priority, in one quarter, that had
+    at least one line item shipped more than 90 days after the order
+    was placed (the fixtures carry no commit/receipt dates — the
+    ship-lag predicate exercises the same decorrelated-EXISTS plan as
+    the original's ``l_commitdate < l_receiptdate``).
+
+    100 TB shape: the quarter filter prunes orders FIRST (partition /
+    row-group pruning on ``o_orderdate``), then a LEFT SEMI join
+    against lineitem on the order key carries the cross-side date
+    predicate as the join's non-equi residual — the semi join emits
+    each qualifying order once, so no DISTINCT pass and no row
+    multiplication from multi-line orders."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q19 — discounted revenue under an OR-of-ANDs cross-table predicate
+# ---------------------------------------------------------------------------
+
+_Q19_ARMS = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — three overlapping arms,
+    # mirroring Q19's three (brand, container, quantity) disjuncts.
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#13", 10, 30, 10, 30),
+    ("Brand#25", 20, 50, 20, 40),
+)
+
+_Q19_PRED_SQL = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+    f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in _Q19_ARMS
+)
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {sql_dsum_exact(_REVENUE_SQL)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_Q19_PRED_SQL}
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from three disjunctive
+    (brand, size-range, quantity-range) arms evaluated across the
+    lineitem⋈part join (the fixture substitutes ``p_size`` ranges for
+    the missing ``p_container`` sets).
+
+    The point is Catalyst's common-factor extraction: from the
+    OR-of-ANDs it derives ``p_brand IN (…)`` pushed to the ``part``
+    scan and the quantity envelope ``l_quantity BETWEEN 1 AND 40``
+    pushed to the ``lineitem`` scan, so both sides prune rows BEFORE
+    the broadcast join applies the exact disjunction as its residual.
+    At 100 TB that pre-prune is the difference between joining the
+    whole fact table and joining ~the qualifying slice."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arms = None
+    for b, slo, shi, qlo, qhi in _Q19_ARMS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arms = arm if arms is None else (arms | arm)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arms)
+        .agg(
+            dsum_exact(revenue_col()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
