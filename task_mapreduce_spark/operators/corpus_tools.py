@@ -196,3 +196,183 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bm25 — Okapi BM25 retrieval scoring (top-k docs for a token query)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("hash", "join", "scan")   # the standing query's terms
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM docs),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+      WHERE tok IN ({terms})
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    parts AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * dl.doclen / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS part_score
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(part_score) AS DOUBLE), 6) AS bm25
+      FROM parts GROUP BY doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+             AS rank
+    FROM scored
+    QUALIFY rank <= {_BM25_TOPK}
+    """
+
+
+@register("text_bm25", oracle=_bm25_sql())
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a standing token query — the
+    lexical half of a retrieval pipeline (the vector half is
+    sim_search_topk/ann); k1=1.2, b=0.75, Lucene's +1-inside-ln idf.
+
+    Determinism discipline for a transcendental score: each (doc,term)
+    partial is rounded to 9 decimals and cast to DECIMAL(18,9) BEFORE
+    the per-doc sum (exact, order-independent — a 3-double fold would
+    be merge-order-dependent), and the final score is rounded to 6;
+    rank ties break on doc_id.
+
+    100 TB shape: the term filter prunes the token explosion to query
+    terms ONLY (the shuffle carries |query|·|matching docs| rows, not
+    the corpus vocabulary); df and corpus stats are tiny aggregates
+    broadcast back; top-k is a rank window over docs that matched ≥ 1
+    term.  For a standing query SET, the same plan batches by adding a
+    query_id column to the terms literal."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split("text", " ").alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(list(_BM25_QUERY)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    parts = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("part_score"),
+        )
+    )
+    scored = parts.groupBy("doc_id").agg(
+        F.round(F.sum("part_score").cast("double"), 6).alias("bm25")
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rag_chunk — fixed-size overlapping token chunking (RAG / context prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24                 # 8-token overlap between neighbors
+
+
+@register(
+    "rag_chunk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), {_CHUNK_STRIDE})) AS start
+      FROM docs
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(toks, start, start + {_CHUNK_TOKENS} - 1))
+                AS INTEGER) AS n_tokens,
+           array_to_string(
+             list_slice(toks, start, start + {_CHUNK_TOKENS} - 1), ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 32-token chunks every 24
+    tokens (8-token overlap), the standard RAG / long-context prep
+    step between corpus filtering and embedding.
+
+    Pure in-row array math — `sequence` start positions exploded, each
+    chunk sliced out of the SAME token array — so the op is a narrow
+    map with no shuffle: at 100 TB it scales with executor count like
+    the multimodal decode keys, and the chunk fan-out (~len/stride per
+    doc) happens inside the row, never as a join.  The exploded
+    `sequence(...)` array is the size-preserving safe case of the
+    InferFiltersFromGenerate trap (CLAUDE.md): the inferred
+    `size(·)>0` filter constant-folds instead of going quadratic."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        F.expr(f"(start - 1) div {_CHUNK_STRIDE}").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

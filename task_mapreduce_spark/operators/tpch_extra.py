@@ -269,3 +269,177 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q7 — volume shipping between two nations (dim-alias double join)
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_6")  # fixture names for FRANCE/GERMANY
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {sql_dsum_exact(_REVENUE_SQL)} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+        OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year
+    (the fixture's nation names substitute FRANCE/GERMANY).
+
+    The interesting shape is the DOUBLE nation join — one dimension
+    table joined twice under different roles (supplier's nation,
+    customer's nation) with a cross-role disjunctive filter.  Both
+    roles broadcast (25 rows); the nation-pair predicate can only be
+    evaluated AFTER both joins, but each single-nation IN-set
+    ``n_name IN (a, b)`` is factored below its own join side, so
+    supplier and customer both prune to 2/25 of nations before the
+    fact chain shuffles.  Year extraction is cast to INT on both
+    engines (DuckDB ``year()`` returns BIGINT)."""
+    two = list(_Q7_NATIONS)
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                             F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
+            | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum_exact(revenue_col()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q8 — national market share (conditional share over a 7-table join)
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_3"     # the share-holder (supplier side)
+_Q8_REGION = "AMERICA"      # the market (customer side)
+_Q8_PTYPE = "ECONOMY"
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           ROUND(COALESCE({sql_dsum_exact(
+               f"CASE WHEN n2.n_name = '{_Q8_NATION}' THEN {_REVENUE_SQL} END")}, 0)
+                 / {sql_dsum_exact(_REVENUE_SQL)}, 6) AS mkt_share
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = '{_Q8_REGION}'
+      AND p.p_type = '{_Q8_PTYPE}'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for one part
+    type, by order year — the deepest join in the suite (7 tables,
+    nation in two roles, region closing the customer side).
+
+    100 TB shape: every dimension side collapses to a broadcast —
+    part filtered to one type, supplier+nation to a (suppkey →
+    nation-name) map, customer restricted to the market region via the
+    nation⋈region broadcast chain — so the only shuffles are the
+    lineitem⋈orders spine on the order key.  Share and total ride one
+    aggregation pass as conditional/unconditional accumulators (the
+    Q14 pattern over a deeper join)."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    n = load(spark, sf_dir, "nation")
+    mkt_cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    F.col("n_nationkey").alias("ck")
+                )
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q8_PTYPE
+    ).select("p_partkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = revenue_col()
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(mkt_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    dsum_exact(F.when(F.col("supp_nation") == _Q8_NATION, rev)),
+                    F.lit(0.0),
+                )
+                / dsum_exact(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

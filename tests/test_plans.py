@@ -253,3 +253,78 @@ def test_q18_scans_lineitem_exactly_once(spark, sf_dir):
 def test_q10_broadcasts_nation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q10", mode="simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    # Q6 is the scan-throughput key: date window, discount band, and
+    # quantity cap must ALL reach the parquet reader, and the scan must
+    # read only the columns the query touches.
+    plan = plan_of(spark, sf_dir, "tpch_q6")
+    assert "PushedFilters: [" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThanOrEqual({frag}" in plan or f"LessThan({frag}" in plan, plan
+    assert "l_returnflag" not in plan  # pruned: never referenced
+
+
+def test_q14_and_q19_broadcast_part(spark, sf_dir):
+    for key in ("tpch_q14", "tpch_q19"):
+        plan = plan_of(spark, sf_dir, key, mode="simple")
+        assert "BroadcastHashJoin" in plan, (key, plan)
+        assert "SortMergeJoin" not in plan, (key, plan)
+
+
+def test_q19_factors_predicates_to_both_scans(spark, sf_dir):
+    # Catalyst must derive per-side filters from the OR-of-ANDs and
+    # push them below the join: the brand/size disjunction to the part
+    # scan, the quantity envelope to the lineitem scan.
+    plan = plan_of(spark, sf_dir, "tpch_q19")
+    assert "EqualTo(p_brand,Brand#1)" in plan, plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+
+
+def test_q4_plans_left_semi(spark, sf_dir):
+    # EXISTS must decorrelate to a semi join (dedup inside the join),
+    # not an inner join + distinct.
+    plan = plan_of(spark, sf_dir, "tpch_q4", mode="simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_langid_profile_broadcasts(spark, sf_dir):
+    # the learned profile is O(langs * K) rows — the classify join must
+    # broadcast it so the corpus side never shuffles text.
+    plan = plan_of(spark, sf_dir, "text_langid", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_redact_is_narrow(spark, sf_dir):
+    # a scrub pass is scan-speed or it is wrong: no exchange at all.
+    plan = plan_of(spark, sf_dir, "pii_redact", mode="simple")
+    for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, plan
+
+
+def test_q7_q8_broadcast_all_dims(spark, sf_dir):
+    # both nation roles (q7) / every dim side (q8) must broadcast; the
+    # only sort-merge-eligible joins are the fact-spine shuffles.
+    plan = plan_of(spark, sf_dir, "tpch_q7", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    plan = plan_of(spark, sf_dir, "tpch_q8", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
+    # the query-term IN-filter must sit directly on the token Generate
+    # (i.e. before the (doc, tok) aggregation exchange) — otherwise the
+    # whole vocabulary shuffles at 100 TB.  In formatted mode the
+    # filter prints as a Condition on the node right after Generate.
+    plan = plan_of(spark, sf_dir, "text_bm25")
+    assert "IN (hash,join,scan)" in plan, plan
+    gen = plan.index("Generate")
+    assert plan.index("IN (hash,join,scan)") > gen, plan
+
+
+def test_rag_chunk_is_narrow(spark, sf_dir):
+    # chunking is an in-row fan-out: no exchange, no join.
+    plan = plan_of(spark, sf_dir, "rag_chunk", mode="simple")
+    for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, plan
