@@ -221,6 +221,10 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
                 ],
             )
             .withColumn("band", F.floor(F.log2("n")).cast("int"))
+            # both join sides (probe AND broadcast build) read this
+            # frame — checkpoint so the dictionary join + bit packing
+            # runs once, not once per side
+            .localCheckpoint()
         )
         pa = bits.select(
             F.col("doc_id").alias("a"),
@@ -242,8 +246,19 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
             overlap = overlap + F.bit_count(
                 F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))
             )
+        # The band join is tiny in BYTES (a few hundred KB of packed
+        # longs) but quadratic in per-row CPU inside a band — exactly
+        # the shape AQE coalesces onto ONE task (CLAUDE.md invariant).
+        # And the band key has only ~log2(len-spread) distinct values,
+        # so a key repartition can't spread it either.  Fix both at
+        # once: round-robin REPARTITION_BY_NUM the probe side (AQE-
+        # exempt, key-free) and BROADCAST the build side — the join
+        # needs no co-partitioning, and every core gets an equal slice
+        # of the bit-intersection work.
+        par = sh.sparkSession.sparkContext.defaultParallelism
         return (
-            pa.join(pb, "jb")
+            pa.repartition(par)
+            .join(F.broadcast(pb), "jb")
             .filter(
                 (F.col("a") < F.col("b"))
                 & (2 * F.least("n_a", "n_b") >= F.greatest("n_a", "n_b"))
