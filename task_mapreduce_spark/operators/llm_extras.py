@@ -252,7 +252,13 @@ def jaccard_pairs(t: DataFrame) -> DataFrame:
     (:func:`jaccard_candidates`), exact verify on candidates only.
     Shared by dedup_ngram_jaccard (pair output) and dedup_cluster_cc
     (the deterministic edge set its components are built on)."""
-    cand = jaccard_candidates(t)
+    # The candidate list is tiny in BYTES (two longs per row) but each
+    # verify row pays an array_intersect/union over full token sets —
+    # the CPU-heavy/byte-light shape AQE coalesces onto 1-2 tasks
+    # (CLAUDE.md invariant).  Explicit-COUNT repartition (AQE-exempt)
+    # keyed on the join key keeps the verify spread across all cores.
+    par = t.sparkSession.sparkContext.defaultParallelism
+    cand = jaccard_candidates(t).repartition(par, "a")
     sa = t.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"))
     sb = t.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
