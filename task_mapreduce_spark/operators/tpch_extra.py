@@ -275,7 +275,9 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tpch_q7 — volume shipping between two nations (dim-alias double join)
 # ---------------------------------------------------------------------------
 
-_Q7_NATIONS = ("NATION_1", "NATION_6")  # fixture names for FRANCE/GERMANY
+# fixture stand-ins for FRANCE/GERMANY; this pair has bilateral volume
+# at every generated sf, including the 100-customer sf0.001 fixture
+_Q7_NATIONS = ("NATION_13", "NATION_19")
 
 
 @register(

@@ -1,0 +1,147 @@
+"""Semantic-invariant tests for the corpus-tool and retrieval
+additions (language ID, hash splitting, PII redaction, BM25, RAG
+chunking) and the extended TPC-H set.  Oracle parity at sf0.001/sf0.01
+runs in the global sweep; these pin the properties parity can't see
+(split disjointness, chunk reconstruction, score monotonicity,
+redaction idempotence)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from task_mapreduce_spark.registry import QUERIES
+from task_mapreduce_spark.tables import load
+
+
+def test_langid_predicts_a_known_language(spark, sf_dir):
+    rows = QUERIES["text_langid"](spark, sf_dir).collect()
+    assert rows
+    langs = {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        assert r["pred_lang"] in langs
+        assert r["true_lang"] in langs
+        assert r["is_correct"] == (r["pred_lang"] == r["true_lang"])
+    # every classified doc is from the holdout split
+    assert all(r["doc_id"] % 5 == 0 for r in rows)
+
+
+def test_langid_beats_chance_on_the_majority_class(spark, sf_dir):
+    # the profile classifier needs no floor on per-language accuracy
+    # (the synthetic corpus carries a weak signal), but predicting from
+    # learned profiles must at least track the corpus's majority class
+    # better than uniform-random 20% overall.
+    rows = QUERIES["text_langid"](spark, sf_dir).collect()
+    acc = sum(r["is_correct"] for r in rows) / len(rows)
+    assert acc >= 0.2, f"profile classifier below chance: {acc:.2f}"
+
+
+def test_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    out = QUERIES["split_train_test"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == d.count()  # every doc in exactly one split
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"}
+    # the 80/10/10 target: train strictly dominates at any realistic sf
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert by_split["train"] > by_split.get("valid", 0)
+    assert by_split["train"] > by_split.get("test", 0)
+
+
+def test_split_is_stable_across_runs(spark, sf_dir):
+    a = {tuple(r) for r in QUERIES["split_train_test"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in QUERIES["split_train_test"](spark, sf_dir).collect()}
+    assert a == b  # pure hash: no RNG, no run-to-run drift
+
+
+def test_pii_redaction_counts_match_and_scrub(spark, sf_dir):
+    rows = QUERIES["pii_redact"](spark, sf_dir).collect()
+    assert rows
+    import re
+
+    for r in rows:
+        # no 6+-digit run survives redaction
+        assert re.search(r"[0-9]{6,}", r["name_redacted"]) is None
+        # count equals the masked-marker count (shared pattern)
+        assert r["name_redacted"].count("[ACCT]") == r["n_redacted"]
+    # the fixture's Customer#NNNNNNNNN names guarantee real redactions
+    assert any(r["n_redacted"] > 0 for r in rows)
+
+
+def test_bm25_ranks_are_dense_and_scores_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["text_bm25"](spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert (prev["bm25"], -prev["doc_id"]) >= (cur["bm25"], -cur["doc_id"])
+    assert all(r["bm25"] > 0 for r in rows)
+
+
+def test_rag_chunks_reconstruct_documents(spark, sf_dir):
+    # stitching chunk_id-ordered chunks (dropping each successor's
+    # overlap) must reproduce the original token stream exactly
+    out = QUERIES["rag_chunk"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    stride = 24
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        toks: list[str] = []
+        for c in chunks:
+            ctoks = c["chunk_text"].split(" ") if c["chunk_text"] else []
+            assert len(ctoks) == c["n_tokens"]
+            start = c["chunk_id"] * stride
+            # overlap region must agree with what's already stitched
+            assert toks[start:] == ctoks[: len(toks) - start]
+            toks = toks[:start] + ctoks
+        assert " ".join(toks) == docs[doc_id]
+
+
+def test_q6_equals_unaggregated_recomputation(spark, sf_dir):
+    row = QUERIES["tpch_q6"](spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    assert row["n_items"] == li.count()
+
+
+def test_q4_orders_counted_once(spark, sf_dir):
+    # the semi join must never multiply an order by its line items:
+    # total counted orders <= orders in the window
+    out = QUERIES["tpch_q4"](spark, sf_dir)
+    total = out.agg(F.sum("order_count")).collect()[0][0]
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    assert total <= o.count()
+
+
+def test_q8_share_is_a_proportion(spark, sf_dir):
+    for r in QUERIES["tpch_q8"](spark, sf_dir).collect():
+        assert 0.0 <= r["mkt_share"] <= 1.0
+
+
+def test_bfs_distances_are_frontier_consistent(spark, sf_dir):
+    rows = QUERIES["graph_bfs"](spark, sf_dir).collect()
+    dist = {r["node"]: r["dist"] for r in rows}
+    assert dist.get(0) == 0
+    # bipartite graph: customers sit at even hops, suppliers at odd
+    for node, d in dist.items():
+        assert 0 <= d <= 4
+        assert (d % 2 == 0) == (node < 1_000_000)

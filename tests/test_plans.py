@@ -136,6 +136,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "sim_search_ivf",       # √N centroid ROWS broadcast (≈16 MB at 1 B vecs)
         "quality_perplexity",   # 1-row corpus-token-count crossJoin
         "join_bloom",           # 1-row 2 KB bloom-bitmap crossJoin
+        "text_bm25",            # 1-row corpus-stats (N, avgdl) crossJoin
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
