@@ -445,3 +445,196 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q15 — top supplier (aggregate view + argmax-by-scalar-subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum_exact(_REVENUE_SQL)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the top-revenue supplier for one quarter — an
+    aggregate view consumed twice (per-supplier revenue AND its max),
+    the classic scalar-subquery-over-own-aggregate shape.
+
+    100 TB shape: the revenue view is |suppliers|-sized after ONE
+    fact-table aggregation (map-side partials); its max is a 1-row
+    aggregate broadcast back via crossJoin+filter — the repo's standing
+    metadata-row pattern — so the fact table is scanned ONCE and never
+    joined to itself.  Ties (multiple suppliers at the max) are kept,
+    exactly like the spec's WHERE total_revenue = (SELECT MAX...)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum_exact(revenue_col()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q17 — small-quantity-order revenue (correlated avg decorrelated)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#13"
+
+
+@register(
+    "tpch_q17",
+    oracle=f"""
+    WITH th AS (
+      SELECT l_partkey AS pk,
+             0.2 * ({sql_dsum_exact("CAST(l_quantity AS DECIMAL(12,4))")}
+                    / COUNT(*)) AS threshold
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT {sql_dsum_exact("CAST(l.l_extendedprice AS DECIMAL(12,4))")} / 7.0
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN th    ON th.pk = l.l_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}'
+      AND l.l_quantity < th.threshold
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand's
+    parts — the correlated per-part average subquery, decorrelated to
+    an aggregate-then-join (the fixtures carry no container column, so
+    the brand filter stands alone).
+
+    100 TB shape: the per-part threshold is ONE fact aggregation keyed
+    exactly like the probe join (l_partkey), so threshold⋈lineitem
+    reuses the aggregation's partitioning — Catalyst plans a single
+    exchange for both.  The brand filter broadcasts through ``part``
+    and prunes BEFORE the threshold join.  The quantity threshold is
+    derived from a decimal-exact sum divided by the count: identical
+    IEEE operands on both engines, so the `<` comparison can never
+    flip on a last-ulp disagreement."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    th = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,4)"))
+                .cast("decimal(24,4)")
+                .cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("threshold")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(th, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,4)"))
+                .cast("decimal(24,4)")
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q22 — global-customer sales opportunity (scalar avg + anti join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,4))) AS DOUBLE)
+               / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS totacctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: wealthy customers with no RECENT order (none since
+    2000-01-01), per country — the spec's "unlikely to purchase
+    again" screen; the fixtures carry no phone column, so the nation
+    key stands in for the phone prefix, and the dense fixture order
+    history makes "never ordered" empty, hence the recency window
+    (same decorrelated NOT-EXISTS plan, the date rides the anti-join
+    side's scan filter).
+
+    The two classic sub-shapes: a scalar subquery (global positive-
+    balance average) consumed as a broadcast 1-row crossJoin, and the
+    NOT EXISTS decorrelated to a LEFT ANTI join on the customer key.
+    100 TB: customer is scanned once for the average (2-column
+    projection) and once for the probe; the anti join shuffles only
+    customers above the average — the balance filter applies BEFORE
+    the join, and orders contributes just its o_custkey column."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(24,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
