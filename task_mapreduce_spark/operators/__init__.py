@@ -7,6 +7,7 @@ from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import llm_extras  # noqa: F401
 from task_mapreduce_spark.operators import llm_pipeline  # noqa: F401
 from task_mapreduce_spark.operators import mapreduce_jobs  # noqa: F401
+from task_mapreduce_spark.operators import pipelines  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401
 from task_mapreduce_spark.operators import scalars  # noqa: F401
 from task_mapreduce_spark.operators import scale  # noqa: F401
