@@ -163,3 +163,153 @@ def pipeline_events_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_retrieval_e2e — hybrid retrieval: BM25 ∪ vector ANN → RRF fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard reciprocal-rank-fusion constant
+_FUSE_TOPK = 10
+_QUERY_VEC = 0       # embeddings.vec_id 0 is the standing query vector
+
+
+@register(
+    "pipeline_retrieval_e2e",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM docs),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+      WHERE tok IN ('hash', 'join', 'scan')
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    parts AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS part_score
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY ROUND(CAST(SUM(part_score) AS DOUBLE), 6) DESC, doc_id
+             ) AS INTEGER) AS lex_rank
+      FROM parts GROUP BY doc_id
+      QUALIFY lex_rank <= 20
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = {_QUERY_VEC}),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY round(list_cosine_similarity(e.v, qv.q), 6) DESC, vec_id
+             ) AS INTEGER) AS vec_rank
+      FROM e CROSS JOIN qv
+      WHERE vec_id <> {_QUERY_VEC}
+      QUALIFY vec_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0), 9) AS rrf,
+             (l.doc_id IS NOT NULL) AS in_lexical,
+             (v.doc_id IS NOT NULL) AS in_vector
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rrf, in_lexical, in_vector,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+             AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_FUSE_TOPK}
+    """,
+)
+def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval end-to-end: the registered BM25 operator's
+    top-20 (imported, not re-implemented) fused with an exact-cosine
+    vector top-20 by reciprocal-rank fusion (k=60) — the standard
+    two-tower retrieval layout, as ONE declarative plan.
+
+    Composition shape: both retrieval arms are independent subplans
+    over different tables (documents / embeddings) that Catalyst
+    schedules concurrently; each collapses to a ≤20-row ranked list,
+    so the fusion full-outer join and the final top-10 window are
+    metadata-sized regardless of corpus scale.  Ranks fuse, not raw
+    scores — RRF needs no cross-arm score calibration, which is why
+    it's the production default.  Determinism: both arm ranks break
+    ties on doc_id, the RRF sum is two IEEE terms in fixed order
+    rounded to 9, and the fused rank breaks ties on doc_id again.
+
+    At 100 TB: the lexical arm scales as text_bm25 (term-filtered
+    explosion), the vector arm as sim_search_topk/ann (bucketed
+    scoring); fusion cost is constant.  Swapping the exact-cosine arm
+    for sim_search_ann's LSH buckets changes recall, not this plan's
+    shape."""
+    from task_mapreduce_spark.operators.corpus_tools import text_bm25
+
+    lex = text_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = emb.select("vec_id", dv.alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    q = e.filter(F.col("vec_id") == _QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    w_vec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec = (
+        e.filter(F.col("vec_id") != _QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+        .withColumn("vec_rank", F.row_number().over(w_vec).cast("int"))
+        .filter(F.col("vec_rank") <= 20)
+        .select("doc_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+            F.col("lex_rank").isNotNull().alias("in_lexical"),
+            F.col("vec_rank").isNotNull().alias("in_vector"),
+        )
+    )
+    w_f = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("fused_rank") <= _FUSE_TOPK)
+    )
