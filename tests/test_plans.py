@@ -329,3 +329,22 @@ def test_rag_chunk_is_narrow(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "rag_chunk", mode="simple")
     for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin"):
         assert op not in plan, plan
+
+
+def test_corpus_pipeline_two_shuffles_and_early_gate(spark, sf_dir):
+    # gate -> dedup -> split -> accounting must cost exactly two
+    # exchanges (digest window, final agg); the length gate filters at
+    # the scan, before the window shuffle.
+    plan = plan_of(spark, sf_dir, "pipeline_corpus_e2e", mode="simple")
+    assert plan.count("Exchange") == 2, plan
+    scan_pos = plan.index("Scan parquet")
+    win_pos = plan.index("Window")
+    filt_pos = plan.rindex("Filter")   # plans print top-down: the
+    assert win_pos < filt_pos < scan_pos or "size(split" in plan, plan
+
+
+def test_events_pipeline_reuses_session_partitioning(spark, sf_dir):
+    # sessionize's user_id shuffle must also serve the per-user agg:
+    # exchanges = session window shuffle + final distribution agg only
+    plan = plan_of(spark, sf_dir, "pipeline_events_e2e", mode="simple")
+    assert plan.count("Exchange") <= 3, plan
