@@ -440,3 +440,54 @@ def scan_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "scan_permissive_corrupt",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS BIGINT)
+             AS n_corrupt
+    FROM orders
+    GROUP BY status
+    """,
+)
+def scan_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant text ingest: a JSON landing file where every
+    tenth record is malformed (truncated mid-object — the classic
+    upstream-producer crash artifact), read back in PERMISSIVE mode
+    with a declared ``_corrupt_record`` column and accounted per
+    status, corrupt rows under a NULL status bucket.
+
+    This is the production ingest contract at 100 TB: one bad record
+    must quarantine ITSELF (parse → NULL fields + raw line in the
+    corrupt column), never fail the job (FAILFAST) or silently vanish
+    (DROPMALFORMED) — the corrupt count is the data-quality metric a
+    landing pipeline alerts on.  The malformed lines are derived
+    deterministically from the fixture (o_orderkey % 10 = 0), so the
+    oracle reproduces the expected accounting from ``orders`` alone."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    line = F.when(
+        F.col("o_orderkey") % 10 == 0,
+        F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey"), F.lit(", TRUNC")),
+    ).otherwise(F.to_json(F.struct("o_orderkey", "o_orderstatus")))
+    tmp = _work_dir("permissive")
+    path = f"{tmp}/landing_json"
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = (
+        "o_orderkey LONG, o_orderstatus STRING, _corrupt_record STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return parsed.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import tempfile
 
 import pandas as pd
 
@@ -390,4 +391,96 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_purchases",
         F.coalesce("n_converted", F.lit(0)).cast("bigint").alias("n_converted"),
+    )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, event_id AS last_event_id, value AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM t
+    )
+    SELECT user_id, last_event_id, last_value FROM r WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming SINK pattern: ``foreachBatch`` merging
+    each micro-batch into an accumulating latest-state store (the
+    upsert every CDC/serving pipeline runs where a true MERGE sink
+    isn't available).  The purchase stream is split into 3 files streamed one
+    per trigger (``maxFilesPerTrigger=1``), so the upsert really runs
+    ACROSS micro-batches — and because the merge function (latest per
+    user by (ts, event_id)) is associative and commutative, the final
+    state is independent of batch boundaries, which is exactly what
+    makes it value-checkable against the batch oracle.
+
+    Inside ``foreachBatch`` nothing is collected: each batch reduces to
+    its per-user latest and lands as parquet keyed by batch id
+    (idempotent per-batch overwrite = exactly-once under retries); the
+    final state is one more latest-per-user reduction over the
+    accumulated partials.  At 100 TB the per-batch reduction bounds
+    the store write to |active users in batch| rows, and the partials
+    compact by the same associative fold — the incremental_rollup
+    contract applied to a streaming sink."""
+    import shutil
+
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"tmrs_feb_{os.getpid()}"
+    )
+    src, accum = f"{tmp}/src", f"{tmp}/accum"
+    shutil.rmtree(accum, ignore_errors=True)
+    (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", us.alias("us"), "user_id", "value")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = "event_id LONG, us LONG, user_id LONG, value DOUBLE"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("us"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        latest_per_user(batch_df).write.mode("overwrite").parquet(
+            f"{accum}/batch={batch_id}"
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(merge)
+        .option(
+            "checkpointLocation",
+            f"{tmp}/ckpt_{next(_memory_sink_counter)}",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    partials = spark.read.schema(schema).parquet(f"{accum}/batch=*")
+    return latest_per_user(partials).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
     )
