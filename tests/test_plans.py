@@ -137,6 +137,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "quality_perplexity",   # 1-row corpus-token-count crossJoin
         "join_bloom",           # 1-row 2 KB bloom-bitmap crossJoin
         "text_bm25",            # 1-row corpus-stats (N, avgdl) crossJoin
+        "pipeline_retrieval_e2e",  # 1-row query-vector crossJoin (+ bm25 stats)
+        "tpch_q15",             # 1-row MAX(total_revenue) scalar-subquery crossJoin
+        "tpch_q22",             # 1-row global-avg-balance scalar-subquery crossJoin
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
