@@ -99,3 +99,89 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield ",".join(sorted(set(values)))
 
     return map_reduce(_docs_kv(spark, sf_dir), mapper, postings)
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence mining (the MapReduce-textbook "pairs" pattern),
+# DataFrame-native: which parts sell together?
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2
+
+
+@register(
+    "basket_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM t),
+    cnt AS (SELECT l_partkey, COUNT(*) AS c FROM t GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM t a JOIN t b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT p.pa, p.pb, p.support,
+           ROUND(CAST(p.support AS DOUBLE) * n.n_orders
+                 / (ca.c * cb.c), 6) AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.l_partkey = p.pa
+    JOIN cnt cb ON cb.l_partkey = p.pb
+    CROSS JOIN n
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order
+    with support ≥ 2, plus lift — the association-rule screen, and the
+    MapReduce textbook's "pairs" pattern (mapper emits one (item_a,
+    item_b) key per in-basket pair, reducer counts) expressed as a
+    self-equi-join + hash-agg.
+
+    100 TB shape: the self-join is on the BASKET key, so the pair
+    expansion is Σ k_i² over per-basket item counts — bounded by the
+    max basket size (13 here; retail baskets are dozens, never
+    millions), NOT by catalog size; the pair aggregation partial-
+    combines map-side exactly like word count.  The per-item counts
+    and the order total are a broadcastable |items|-row table and a
+    1-row literal; lift's division is IEEE-deterministic on identical
+    integer operands, rounded to 6.  The "stripes" refinement (one
+    map per item) trades shuffle rows for map-side memory — pairs is
+    the right default when baskets are small and items many."""
+    t = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = t.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = t.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = t.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = t.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

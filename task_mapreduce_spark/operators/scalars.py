@@ -322,3 +322,44 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("bigint").alias("k_shr"),
         F.bit_count(k).cast("bigint").alias("k_pop"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang AS query,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: build a canonical URL per document and
+    decompose it with ``parse_url`` (HOST / PATH / QUERY / one query
+    parameter) — the web-corpus normalization primitive (URL-keyed
+    dedup, host-level aggregation à la the paper's reverse web-link
+    graph all start here).
+
+    The oracle reconstructs each component from the same fields the
+    URL was built from, so the check certifies that Spark's JVM
+    ``parse_url`` round-trips the construction exactly.  Narrow
+    codegen projection — no shuffle; at 100 TB this runs at scan
+    speed like pii_redact."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
