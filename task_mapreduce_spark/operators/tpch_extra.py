@@ -638,3 +638,53 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# tpch_q13 — customer distribution (left join + two-phase aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed N orders — the two-phase
+    aggregation over a LEFT join (customers with zero orders must
+    appear in the N=0 bucket, which is what makes the outer join and
+    the ``COUNT(column)`` null-skipping semantics load-bearing; the
+    fixtures carry no comment column, so the spec's complaint-pattern
+    exclusion is dropped).
+
+    100 TB shape: the join and the first aggregation share the
+    customer key, so Catalyst plans ONE exchange for both (orders
+    pre-aggregates per custkey map-side before the join at scale via
+    partial counts); the second aggregation's domain is |max orders
+    per customer| — metadata.  Final order is on the aggregate pair,
+    deterministic because (custdist, c_count) is unique by
+    construction."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
