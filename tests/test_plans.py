@@ -140,6 +140,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "pipeline_retrieval_e2e",  # 1-row query-vector crossJoin (+ bm25 stats)
         "tpch_q15",             # 1-row MAX(total_revenue) scalar-subquery crossJoin
         "tpch_q22",             # 1-row global-avg-balance scalar-subquery crossJoin
+        "basket_pairs",         # 1-row order-total crossJoin (lift denominator)
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
