@@ -149,3 +149,54 @@ def test_bitwise_roundtrip(spark, sf_dir):
         != F.col("o_orderkey")
     ).count()
     assert bad == 0
+
+
+def test_basket_pairs_certificates(spark, sf_dir):
+    rows = QUERIES["basket_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pa"] < r["pb"]
+        assert r["support"] >= 2
+        assert r["lift"] > 0
+
+
+def test_permissive_corrupt_quarantines_only_null_bucket(spark, sf_dir):
+    rows = QUERIES["scan_permissive_corrupt"](spark, sf_dir).collect()
+    by_status = {r["status"]: r for r in rows}
+    assert None in by_status  # corrupt rows surface under NULL status
+    null_row = by_status[None]
+    assert null_row["n_corrupt"] == null_row["n_rows"] > 0
+    for status, r in by_status.items():
+        if status is not None:
+            assert r["n_corrupt"] == 0  # parsed rows never counted corrupt
+
+
+def test_foreachbatch_state_matches_direct_batch(spark, sf_dir):
+    # the upsert across micro-batches must equal a single-pass batch
+    # reduction — the batch-boundary-independence contract
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    out = {
+        (r["user_id"], r["last_event_id"], r["last_value"])
+        for r in QUERIES["stream_foreachbatch_upsert"](spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    direct = {
+        (r["user_id"], r["event_id"], r["value"])
+        for r in e.select("user_id", "event_id", "value", us.alias("us"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert out == direct
+
+
+def test_q13_buckets_sum_to_customer_count(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    out = QUERIES["tpch_q13"](spark, sf_dir)
+    total = out.agg(F.sum("custdist")).collect()[0][0]
+    assert total == load(spark, sf_dir, "customer").count()
