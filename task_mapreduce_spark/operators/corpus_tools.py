@@ -311,11 +311,13 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = parts.groupBy("doc_id").agg(
         F.round(F.sum("part_score").cast("double"), 6).alias("bm25")
     )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: O(k) per
+    # partition, no global sort), THEN the rank window over ≤k rows —
+    # an unpartitioned window over all matching docs would funnel them
+    # through one task at corpus scale.
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPK)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _BM25_TOPK)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 # ---------------------------------------------------------------------------

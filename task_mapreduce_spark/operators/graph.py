@@ -316,11 +316,18 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Same layout discipline as PageRank: the static edge list is
+    # hash-partitioned on the join key ONCE (explicit count, AQE-
+    # exempt) and checkpointed; each round only the |frontier|-sized
+    # distance table shuffles into it via shuffle-hash (no per-round
+    # sort of the edges, no |V|-broadcast).
+    par = spark.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
         .unionByName(
             pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
         )
+        .repartition(par, "src")
         .localCheckpoint()
     )
     dist = spark.range(1).select(
@@ -328,7 +335,9 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("dist"),
     )
     for _ in range(_BFS_ITERS):
-        reached = dist.join(edges, dist.node == edges.src).select(
+        reached = edges.join(
+            dist.hint("shuffle_hash"), dist.node == edges.src
+        ).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         dist = (

@@ -281,6 +281,9 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == _QUERY_VEC).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject) BEFORE the rank
+    # window — an unpartitioned window would funnel the whole corpus
+    # through one task; the window then ranks only the 20 survivors.
     w_vec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
     vec = (
         e.filter(F.col("vec_id") != _QUERY_VEC)
@@ -291,8 +294,9 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
             ).alias("cos"),
         )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(20)
         .withColumn("vec_rank", F.row_number().over(w_vec).cast("int"))
-        .filter(F.col("vec_rank") <= 20)
         .select("doc_id", "vec_rank")
     )
     fused = (
@@ -310,6 +314,7 @@ def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_f = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
-        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
-        .filter(F.col("fused_rank") <= _FUSE_TOPK)
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_FUSE_TOPK)
+        .withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
     )
