@@ -187,3 +187,64 @@ def test_percentile_buckets_balance_heavy_tail(spark):
     ideal = n / n_buckets
     assert max(counts) <= 1.25 * ideal
     assert min(counts) >= 0.75 * ideal
+
+
+# ---------------------------------------------------------------------------
+# Cross-ENGINE properties: identities the oracle harness itself rests on.
+# These are the first tests to fail when the environment swaps the Spark
+# or DuckDB build (it has, twice), so they run on generated inputs, not
+# just the fixture corpus.
+# ---------------------------------------------------------------------------
+
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=24
+)
+
+
+@_SETTINGS
+@given(tokens=st.lists(_TEXT, min_size=1, max_size=8, unique=True))
+def test_portable_hash_identical_across_engines(spark, oracle, tokens):
+    # CLAUDE.md's portable 48-bit token hash: Spark conv/md5 must equal
+    # DuckDB's hex-cast md5 for ANY string (incl. unicode and ''),
+    # because LSH/fingerprint/split keys are value-checked through it.
+    sdf = spark.createDataFrame([(t,) for t in tokens], "t STRING")
+    got = {
+        r["t"]: r["h"]
+        for r in sdf.select(
+            "t",
+            F.conv(F.substring(F.md5("t"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ).collect()
+    }
+    for t in tokens:
+        want = oracle.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 12))::BIGINT", [t]
+        ).fetchone()[0]
+        assert got[t] == want, f"hash diverged for {t!r}"
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9).map(lambda i: i / 10),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_decimal_exact_sum_identical_across_engines(spark, oracle, vals):
+    # functions/exact.py's contract: double → DECIMAL(24,4) → SUM is
+    # bit-identical between engines for any input (order-independent
+    # and tie-free, since a binary double never lands exactly on a
+    # .00005 rounding boundary).
+    sdf = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    got = sdf.agg(
+        F.sum(F.col("v").cast("decimal(24,4)")).cast("double")
+    ).collect()[0][0]
+    placeholders = ",".join(["(?)"] * len(vals))
+    want = oracle.execute(
+        f"SELECT CAST(SUM(CAST(v AS DECIMAL(24,4))) AS DOUBLE) "
+        f"FROM (VALUES {placeholders}) t(v)",
+        vals,
+    ).fetchone()[0]
+    assert str(got) == str(want), (got, want)
