@@ -352,3 +352,12 @@ def test_events_pipeline_reuses_session_partitioning(spark, sf_dir):
     # exchanges = session window shuffle + final distribution agg only
     plan = plan_of(spark, sf_dir, "pipeline_events_e2e", mode="simple")
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_topk_rank_keys_use_take_ordered(spark, sf_dir):
+    # ranked top-k must reach the limit via TakeOrderedAndProject
+    # (O(k) per partition), never an unpartitioned rank window over
+    # the full candidate set
+    for key in ("text_bm25", "pipeline_retrieval_e2e"):
+        plan = plan_of(spark, sf_dir, key, mode="simple")
+        assert "TakeOrderedAndProject" in plan, (key, plan)
