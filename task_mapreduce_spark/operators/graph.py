@@ -161,6 +161,63 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def orient_by_degree(e: DataFrame) -> DataFrame:
+    """Re-orient an undirected edge list ``(a, b)`` so every edge points
+    from the endpoint with the smaller ``(degree, id)`` to the larger —
+    the standard triangle-enumeration refinement (Suri & Vassilvitskii's
+    MapReduce formulation): under degree orientation a vertex's
+    OUT-degree is bounded by O(√|E|), so the path join on the middle
+    vertex expands at most Σ outdeg² ≤ |E|·√|E| candidates even when one
+    hot vertex has millions of neighbors.  Id-orientation has no such
+    bound — a hot vertex of degree d contributes d²/4 candidates.
+
+    ``(degree, id)`` is a strict total order (ids are unique), so the
+    orientation is acyclic and every triangle has exactly one source,
+    one middle and one sink vertex — each triangle is enumerated exactly
+    once by (src→mid)⋈(mid→sink) closed with (src→sink).  The degree
+    table is |V|-bounded metadata derived from the edge list itself; the
+    two decorating joins are |E|-row equi-joins."""
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+
+
+def triangle_memberships(e: DataFrame) -> DataFrame:
+    """(doc_id, n_triangles) for every vertex appearing in ≥ 1 triangle
+    of the undirected edge list ``(a, b)``: degree-orient the edges
+    (:func:`orient_by_degree`), enumerate each triangle once via the
+    two-equi-join closure, then count memberships per vertex.  The
+    oriented edge list feeds three join branches — checkpoint it so the
+    (similarity-pipeline + orientation) prefix runs once."""
+    o = orient_by_degree(e).localCheckpoint()
+    e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    verts = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionByName(tri.select(F.col("y").alias("doc_id")))
+        .unionByName(tri.select(F.col("z").alias("doc_id")))
+    )
+    return verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 @register(
     "graph_triangles",
     oracle="""
@@ -201,34 +258,30 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates genuine duplicate CLUSTERS (dense, many triangles) from
     chains of pairwise-similar docs (no triangles).
 
-    The MapReduce-textbook formulation, as two equi-joins: every edge
-    is oriented low-id → high-id, so each triangle x<y<z is formed
-    exactly once by joining (x,y)⋈(y,z) on the middle vertex and
-    closing with (x,z).  No cross join and no per-vertex adjacency
-    list in one row; at 100 TB the standard refinement is orienting
-    edges by DEGREE instead of id (bounds the join fan-out per vertex
-    by sqrt(|E|)) — id-orientation keeps the fixture output oracle-
-    reproducible, and the swap is a one-line change to the orientation
-    key.  The edge list is localCheckpoint'd: it feeds three join
-    branches, and recomputing the prefix-filtered Jaccard pipeline per
-    branch would triple the dominant cost."""
+    The MapReduce-textbook formulation, as two equi-joins: edges are
+    oriented by (DEGREE, id) — :func:`orient_by_degree` — so each
+    triangle is formed exactly once by joining (src,mid)⋈(mid,sink) on
+    the middle vertex and closing with (src,sink), and a hot vertex's
+    path fan-out is bounded by √|E| instead of its raw degree.  No
+    cross join and no per-vertex adjacency list in one row.
+
+    The oracle deliberately stays ID-oriented: per-vertex triangle
+    membership is orientation-invariant (a triangle is a triangle
+    however its edges point), so the independent id-oriented SQL
+    formulation value-checks the degree-orientation machinery instead
+    of merely re-running it — if the (deg, id) order ever failed to be
+    strict/acyclic, double- or under-counts would hash-mismatch here."""
     from task_mapreduce_spark.operators.llm_extras import (
         _doc_token_sets,
         jaccard_pairs,
     )
 
     d = load(spark, sf_dir, "documents")
+    # checkpoint: the raw edge list feeds the degree derivation (both
+    # endpoint projections) AND the orientation join — without it the
+    # prefix-filtered Jaccard pipeline would replay three times
     e = jaccard_pairs(_doc_token_sets(d)).select("a", "b").localCheckpoint()
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    verts = (
-        tri.select(F.col("x").alias("doc_id"))
-        .unionByName(tri.select(F.col("y").alias("doc_id")))
-        .unionByName(tri.select(F.col("z").alias("doc_id")))
-    )
-    cnt = verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    cnt = triangle_memberships(e)
     return (
         d.select("doc_id")
         .join(cnt, "doc_id", "left")

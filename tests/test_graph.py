@@ -8,6 +8,8 @@ bit-exact regardless of partition layout.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from task_mapreduce_spark.operators.graph import _PR_BASE, _SUPP_OFFSET
 from task_mapreduce_spark.registry import QUERIES
 from task_mapreduce_spark.tables import load
@@ -44,6 +46,45 @@ def test_dangling_customers_get_exactly_teleport_mass(spark, sf_dir):
     # linked nodes accumulated incoming mass on top of the base
     linked = [n for n in ranks if n not in dangling]
     assert any(ranks[n] > _PR_BASE for n in linked)
+
+
+def test_degree_orientation_bounds_hot_vertex_fanout(spark):
+    # planted hot vertex: hub 0 with 40 leaves.  Id-orientation would
+    # give the hub out-degree 40 (→ 40²/2 path candidates from one
+    # vertex); degree orientation points every star edge INTO the hub,
+    # so its out-degree is 0 and the max out-degree anywhere is O(√|E|).
+    from task_mapreduce_spark.operators.graph import orient_by_degree
+
+    edges = [(0, i) for i in range(1, 41)] + [(1, 2), (3, 4)]
+    e = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    outdeg = {
+        r["src"]: r["c"]
+        for r in orient_by_degree(e)
+        .groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert outdeg.get(0, 0) == 0          # hub is the (deg, id)-maximum
+    assert max(outdeg.values()) <= 2      # leaves carry the fan-out
+    # orientation preserves the edge SET (it only flips direction)
+    undirected = {
+        (min(a, b), max(a, b))
+        for a, b in orient_by_degree(e).select("src", "dst").toLocalIterator()
+    }
+    assert undirected == set(edges)
+
+
+def test_triangle_memberships_exact_once_on_planted_fixture(spark):
+    # K4 on {0,1,2,3}: every vertex sits in exactly C(3,2)=3 triangles;
+    # the star tail (4-5-6 path through the hub) adds none.  Exercises
+    # the exactly-once closure under degree orientation with ties.
+    from task_mapreduce_spark.operators.graph import triangle_memberships
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(0, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(k4 + tail, "a BIGINT, b BIGINT")
+    got = {r["doc_id"]: r["n_triangles"] for r in triangle_memberships(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
 def test_bit_exact_across_partition_layouts(spark, sf_dir):
