@@ -145,12 +145,17 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is Σ k_i² over per-basket item counts — bounded by the
     max basket size (13 here; retail baskets are dozens, never
     millions), NOT by catalog size; the pair aggregation partial-
-    combines map-side exactly like word count.  The per-item counts
-    and the order total are a broadcastable |items|-row table and a
-    1-row literal; lift's division is IEEE-deterministic on identical
-    integer operands, rounded to 6.  The "stripes" refinement (one
-    map per item) trades shuffle rows for map-side memory — pairs is
-    the right default when baskets are small and items many."""
+    combines map-side exactly like word count.  The per-item count
+    table scales with |catalog| — billions of distinct parts at
+    100 TB — so its two lift joins are deliberately UNHINTED plain
+    equi-joins: AQE broadcasts them while the catalog is small (it
+    does at fixture scale) and falls back to a shuffle join when it
+    is not, which a forced broadcast() would forbid.  Only the order
+    total is a guaranteed 1-row broadcast.  Lift's division is
+    IEEE-deterministic on identical integer operands, rounded to 6.
+    The "stripes" refinement (one map per item) trades shuffle rows
+    for map-side memory — pairs is the right default when baskets are
+    small and items many."""
     t = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -170,8 +175,8 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
     cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
     return (
-        pairs.join(F.broadcast(ca), "pa")
-        .join(F.broadcast(cb), "pb")
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
         .crossJoin(F.broadcast(n))
         .select(
             "pa",
