@@ -35,6 +35,12 @@ from task_mapreduce_spark.tables import load, path_of
 
 _memory_sink_counter = itertools.count()
 
+# stream_foreachbatch_upsert folds its per-batch partials into one
+# compacted store every K batches, bounding state reads by stream
+# lifetime.  K=2 keeps the 3-trigger fixture run exercising BOTH a
+# compaction and a post-compaction partial.
+_FEB_COMPACT_EVERY = 2
+
 
 @register(
     "stream_source",
@@ -424,12 +430,20 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inside ``foreachBatch`` nothing is collected: each batch reduces to
     its per-user latest and lands as parquet keyed by batch id
-    (idempotent per-batch overwrite = exactly-once under retries); the
-    final state is one more latest-per-user reduction over the
-    accumulated partials.  At 100 TB the per-batch reduction bounds
-    the store write to |active users in batch| rows, and the partials
-    compact by the same associative fold — the incremental_rollup
-    contract applied to a streaming sink."""
+    (idempotent per-batch overwrite = exactly-once under retries), and
+    every ``_FEB_COMPACT_EVERY`` batches the accumulated partials fold
+    into ONE compacted store by the same associative latest-per-user
+    reduction, after which the consumed partials are dropped — so both
+    the store size and the read-side fold stay bounded by
+    |users| + K·|batch| regardless of stream lifetime.  Compaction is
+    idempotent under batch retries: a replayed batch rewrites its
+    partial and the fold of duplicate rows is a no-op (latest-of-same
+    = same).  The new-store-then-swap rename stands in for what a
+    cluster deployment does with a transactional table format (MERGE
+    into Delta/Iceberg) or an atomic manifest swap.  At 100 TB the
+    per-batch reduction bounds the store write to |active users in
+    batch| rows — the incremental_rollup contract applied to a
+    streaming sink."""
     import shutil
 
     e = load(spark, sf_dir, "events")
@@ -438,6 +452,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"tmrs_feb_{os.getpid()}"
     )
     src, accum = f"{tmp}/src", f"{tmp}/accum"
+    part_root, compact = f"{accum}/part", f"{accum}/compact"
     shutil.rmtree(accum, ignore_errors=True)
     (
         e.filter(F.col("event_type") == "purchase")
@@ -463,10 +478,31 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
+    def state_paths() -> list[str]:
+        paths = [compact] if os.path.isdir(compact) else []
+        if os.path.isdir(part_root):
+            paths += sorted(
+                f"{part_root}/{d}"
+                for d in os.listdir(part_root)
+                if d.startswith("batch=")
+            )
+        return paths
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
         latest_per_user(batch_df).write.mode("overwrite").parquet(
-            f"{accum}/batch={batch_id}"
+            f"{part_root}/batch={batch_id}"
         )
+        if (batch_id + 1) % _FEB_COMPACT_EVERY == 0:
+            consumed = state_paths()
+            folded = latest_per_user(sp.read.schema(schema).parquet(*consumed))
+            staged = f"{compact}.next"
+            folded.write.mode("overwrite").parquet(staged)
+            shutil.rmtree(compact, ignore_errors=True)
+            os.rename(staged, compact)
+            for p in consumed:
+                if p != compact:
+                    shutil.rmtree(p, ignore_errors=True)
 
     q = (
         sdf.writeStream.foreachBatch(merge)
@@ -477,8 +513,20 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    partials = spark.read.schema(schema).parquet(f"{accum}/batch=*")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_foreachbatch_upsert: availableNow stream timed out"
+        )
+    # An empty purchase stream may legitimately leave no store behind —
+    # fall back to an empty frame of the declared schema rather than
+    # relying on the writer having emitted an empty partial file.
+    paths = state_paths()
+    partials = (
+        spark.read.schema(schema).parquet(*paths)
+        if paths
+        else spark.createDataFrame([], schema)
+    )
     return latest_per_user(partials).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),

@@ -192,6 +192,21 @@ def test_foreachbatch_state_matches_direct_batch(spark, sf_dir):
         .collect()
     }
     assert out == direct
+    # compaction bounds the partial store: after the 3-trigger run at
+    # K=2, batches 0-1 folded into the compacted store and only batch 2
+    # survives as a partial — the state read never folds more than
+    # |compact| + (K-1) partials however long the stream ran
+    import os
+    import tempfile
+
+    from task_mapreduce_spark.streaming.ops import _FEB_COMPACT_EVERY
+
+    accum = os.path.join(tempfile.gettempdir(), f"tmrs_feb_{os.getpid()}", "accum")
+    partials = [
+        d for d in os.listdir(os.path.join(accum, "part")) if d.startswith("batch=")
+    ]
+    assert os.path.isdir(os.path.join(accum, "compact"))
+    assert len(partials) <= _FEB_COMPACT_EVERY - 1
 
 
 def test_q13_buckets_sum_to_customer_count(spark, sf_dir):
