@@ -249,21 +249,28 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def percentile_bucket_ids(df: DataFrame, col_name: str, n_buckets: int) -> F.Column:
-    """Bucket-id expression (1..n) for a global sort: boundaries seeded
-    from ``approx_percentile`` so heavy-tailed keys still yield
-    near-equal bucket counts (linear min/max widths pile a skewed key
-    into one straggler bucket).  The boundaries are collected ONCE as
-    metadata and inlined as literals, so the id stays a pure function
-    of the row's value — recomputation/eviction-stable, unlike range
-    partitioning's per-run sampling.  pid = 1 + #boundaries strictly
-    below the value, monotone in the value, equal keys share a bucket."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.agg(F.percentile_approx(col_name, qs, 10000)).first()[0] or []
+def _pid_from_literal_bounds(col_name: str, bounds: list) -> F.Column:
+    """pid = 1 + #distinct boundaries strictly below the value, with the
+    boundaries inlined as LITERALS: the id is a pure function of the
+    row's value — recomputation/eviction-stable, unlike range
+    partitioning's per-run sampling — monotone in the value, and equal
+    keys share a bucket.  Must stay arithmetic-identical to the
+    broadcast-array form in :func:`sort_global` (distinct bounds,
+    strict <), which derives the same ids in the counting pass."""
     pid: F.Column = F.lit(1)
     for b in sorted(set(bounds)):  # dedup: massive ties → empty buckets
         pid = pid + F.when(F.col(col_name) > F.lit(b), 1).otherwise(0)
     return pid.cast("long")
+
+
+def percentile_bucket_ids(df: DataFrame, col_name: str, n_buckets: int) -> F.Column:
+    """Bucket-id expression (1..n) for a global sort: boundaries seeded
+    from ``approx_percentile`` so heavy-tailed keys still yield
+    near-equal bucket counts (linear min/max widths pile a skewed key
+    into one straggler bucket)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.percentile_approx(col_name, qs, 10000)).first()[0] or []
+    return _pid_from_literal_bounds(col_name, bounds)
 
 
 @register(
@@ -278,29 +285,57 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total order ≙ MR distributed sort (TeraSort).
 
     The global rank is materialized WITHOUT a single-partition window
-    (which would funnel the whole table through one task).  The bucket
-    id is a *pure function of the row's value* (boundary literals from
-    :func:`percentile_bucket_ids`), so — unlike range partitioning,
-    which re-samples boundaries per run — every pass over the data
-    assigns every row to the same bucket with no cache dependency:
-    correctness survives recomputation, eviction and 1000-way
-    parallelism; and because the boundaries are equi-depth percentiles
-    rather than equal-width slices of [min, max], a heavy-tailed sort
-    key still spreads ~1/n of the rows into each bucket.  Pass 1
-    counts rows per bucket (metadata-sized collect); pass 2 computes a
-    per-bucket row_number and adds the broadcast bucket offset.  Ties
-    are broken by the unique key so the rank is deterministic."""
+    (which would funnel the whole table through one task).  Because
+    the boundaries are equi-depth percentiles rather than equal-width
+    slices of [min, max], a heavy-tailed sort key still spreads ~1/n
+    of the rows into each bucket.
+
+    TWO jobs, not three: the boundary derivation rides the counting
+    job as a broadcast 1-row aggregate (the repo's standing
+    metadata-row pattern, cf. tpch_q15) — each count row carries the
+    boundary array it was bucketed under, so ONE collect yields both
+    the per-bucket counts and the exact boundaries that produced
+    them.  The ranking pass then re-derives the bucket id from those
+    collected boundaries as LITERALS (a pure function of the row's
+    value), which is what makes the two passes provably consistent:
+    approx_percentile's partial-merge order need not be reproducible
+    across jobs, but the ranking pass never re-runs it.  Pass 2
+    computes a per-bucket row_number and adds the broadcast bucket
+    offset; ties are broken by the unique key so the rank is
+    deterministic."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
     n_buckets = 64  # at 100 TB: raise so each bucket fits an executor core
-    parts = o.withColumn("pid", percentile_bucket_ids(o, "o_totalprice", n_buckets))
-    counts = parts.groupBy("pid").count().collect()  # ≤ n+1 rows of metadata
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = o.agg(
+        F.array_sort(
+            F.array_distinct(F.percentile_approx("o_totalprice", qs, 10000))
+        ).alias("__bounds")
+    )
+    # same arithmetic as _pid_from_literal_bounds: 1 + #distinct
+    # boundaries strictly below the value
+    pid_bcast = (
+        F.lit(1)
+        + F.coalesce(
+            F.size(F.filter("__bounds", lambda b: b < F.col("o_totalprice"))),
+            F.lit(0),
+        )
+    ).cast("long")
+    stat = (
+        o.crossJoin(F.broadcast(bounds_row))
+        .withColumn("pid", pid_bcast)
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("__bounds").alias("bounds"))
+        .collect()
+    )  # ≤ n+1 rows of metadata, each carrying the (identical) bounds array
+    bounds = stat[0]["bounds"] if stat else []
     offsets, acc = [], 0
     # descending sort → highest bucket id ranks first
-    for r in sorted(counts, key=lambda r: -r["pid"]):
+    for r in sorted(stat, key=lambda r: -r["pid"]):
         offsets.append((int(r["pid"]), acc))
-        acc += r["count"]
-    off_df = spark.createDataFrame(offsets, "pid BIGINT, off BIGINT")
+        acc += r["cnt"]
+    off_df = spark.createDataFrame(offsets or [(1, 0)], "pid BIGINT, off BIGINT")
+    parts = o.withColumn("pid", _pid_from_literal_bounds("o_totalprice", bounds))
     w = Window.partitionBy("pid").orderBy(*order_cols)
     return (
         parts.join(F.broadcast(off_df), "pid")
