@@ -89,13 +89,25 @@ def _shingles(d: DataFrame) -> DataFrame:
     return d.select("doc_id", sh.alias("shingles"))
 
 
-def minhash_edges(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+def minhash_edges(
+    d: DataFrame,
+    sh: DataFrame | None = None,
+    verified_pairs: DataFrame | None = None,
+) -> DataFrame:
     """Verified near-dup edge list (a, b) with a < b — the shared
     candidate-generation + verification pipeline behind
     ``dedup_near_minhash`` (1-hop clusters) and ``dedup_cluster_cc``
     (full connected components, operators/llm_extras.py).  Pass a
     precomputed (ideally localCheckpoint'd) shingle frame to share the
-    tokenization scan with sibling pipelines."""
+    tokenization scan with sibling pipelines.
+
+    ``verified_pairs``: a precomputed COMPLETE J ≥ _JACCARD_T pair list
+    (a < b).  When given, LSH candidates are verified by a semi-join
+    against it instead of re-computing shingle-set intersections —
+    exact because verified-LSH ≡ candidates ∩ {all qualifying pairs}
+    under the identical integer threshold.  dedup_near_minhash passes
+    its exact-certificate side here so the expensive array-Jaccard
+    verify join runs ONCE per pipeline, not twice."""
     if sh is None:
         sh = _shingles(d)
     hashed = sh.select(
@@ -153,6 +165,8 @@ def minhash_edges(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
+    if verified_pairs is not None:
+        return cand.join(verified_pairs.select("a", "b"), ["a", "b"], "leftsemi")
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -167,6 +181,7 @@ def minhash_edges(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
 
 
 _BITMAP_VOCAB_MAX = 4096  # dictionary-bitmap path while vocab fits 64 longs
+_BITMAP_BCAST_BYTES_MAX = 32 << 20  # packed-table broadcast budget (est.)
 
 
 def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
@@ -200,8 +215,18 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
         "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("token")
     )
     nvocab = tok.select("token").distinct().count()
-    if nvocab <= _BITMAP_VOCAB_MAX:
-        nw = (nvocab + 63) // 64
+    # The bitmap band join BROADCASTS the full |corpus|-row packed
+    # table (ndocs × (⌈V/64⌉ + 3) longs), so the path is gated on BOTH
+    # statistics: vocabulary width AND estimated packed size.  Above
+    # the broadcast budget the inverted-index count join below takes
+    # over — fully shuffle-based, no |corpus|-bound broadcast.
+    ndocs = sh.count()
+    nw_est = (nvocab + 63) // 64
+    if (
+        nvocab <= _BITMAP_VOCAB_MAX
+        and ndocs * (nw_est + 3) * 8 <= _BITMAP_BCAST_BYTES_MAX
+    ):
+        nw = nw_est
         dictionary = (
             tok.select("token")
             .distinct()
@@ -246,8 +271,9 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
             overlap = overlap + F.bit_count(
                 F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))
             )
-        # The band join is tiny in BYTES (a few hundred KB of packed
-        # longs) but quadratic in per-row CPU inside a band — exactly
+        # The band join's build side is the FULL packed table — bytes
+        # bounded by the _BITMAP_BCAST_BYTES_MAX gate above, never
+        # assumed small — but quadratic in per-row CPU inside a band,
         # the shape AQE coalesces onto ONE task (CLAUDE.md invariant).
         # And the band key has only ~log2(len-spread) distinct values,
         # so a key repartition can't spread it either.  Fix both at
@@ -353,11 +379,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with it, exactly like agg_approx_distinct drops its countDistinct.
     """
     d = load(spark, sf_dir, "documents")
-    # One shingle scan feeds FIVE consumers (vocab stat, dictionary,
-    # bitmap build, LSH signatures, LSH verify) — checkpoint it once.
+    # One shingle scan feeds FOUR consumers (vocab stat, dictionary,
+    # bitmap build, LSH signatures) — checkpoint it once.
     sh = _shingles(d).localCheckpoint()
-    exact = edges_to_clusters(d, _exact_shingle_pairs(sh))
-    lsh = edges_to_clusters(d, minhash_edges(d, sh)).select(
+    # ONE shingle-intersection join for the whole operator: the exact
+    # pair list is both the certificate's edge set AND the LSH verify
+    # oracle (a semi-join inside minhash_edges) — the two sides used
+    # to each pay their own intersection pass.
+    exact_pairs = _exact_shingle_pairs(sh).localCheckpoint()
+    exact = edges_to_clusters(d, exact_pairs)
+    lsh = edges_to_clusters(
+        d, minhash_edges(d, sh, verified_pairs=exact_pairs)
+    ).select(
         F.col("doc_id").alias("l_doc_id"),
         F.col("cluster_id").alias("l_cluster_id"),
         F.col("n_dups").alias("l_n_dups"),
