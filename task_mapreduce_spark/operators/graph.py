@@ -343,22 +343,28 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled rounds (nodes further than 4 hops are simply absent —
     the frontier semantics, not a truncation of found results).
 
-    Iterative-join BFS, the MapReduce-paper shape: each round joins
-    the CURRENT distance table against the edge list and folds with
-    min(dist) — monotone, so re-reaching a node never worsens its
-    distance and the fold is order-independent (integer min: bit-exact
-    on any engine/merge order).  Per round: one equi-join shuffle on
-    the frontier key + one min-agg; the distance table is
-    ``localCheckpoint``-ed per round (cluster-scale: parquet
-    checkpoint) so round k doesn't replay rounds 0..k-1 — the same
-    lineage-truncation discipline as PageRank and dedup_cluster_cc.
+    FRONTIER-DELTA iterative BFS: each round expands only the nodes
+    whose distance was ASSIGNED last round (the frontier), not the
+    whole reached set — newly-seen nodes are isolated with a left-anti
+    join against the accumulated distance table, so per-round join
+    input is ∝ |frontier|, not ∝ |reached| (PERF.md's ×10 row shows
+    the effect: round cost tracks the expansion wave, flat once the
+    wave passes).  Correct because BFS expands level by level: any
+    expanded node already present in the distance table was reached
+    in an earlier round with a strictly smaller distance, so dropping
+    it loses nothing — the level number IS the min-fold (integer,
+    bit-exact on any engine/merge order, matching the oracle's full
+    min-fold formulation).
 
-    At 100 TB the distance table is |V|-bounded (node, int) pairs —
-    tiny next to the edge list, which is derived and checkpointed
-    ONCE.  Frontier-only expansion (joining just the rows whose dist
-    changed last round) is the standard refinement when diameter is
-    large; at 4 unrolled rounds the full-table join keeps the plan
-    deterministic and the oracle expressible."""
+    Per round: one equi-join shuffle of the |frontier|-sized table
+    into the once-checkpointed edge partitioning + one min-agg + one
+    anti-join against the distance union.  Only the FRONTIER is
+    ``localCheckpoint``-ed per round (cluster-scale: parquet
+    checkpoint); the distance table stays a lazy union of checkpointed
+    frontiers — shallow lineage without re-materializing |V| rows per
+    round.  At 100 TB the distance table is |V|-bounded (node, int)
+    pairs — tiny next to the edge list, derived and checkpointed
+    ONCE."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -387,16 +393,16 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_BFS_SOURCE).cast("long").alias("node"),
         F.lit(0).cast("int").alias("dist"),
     )
+    frontier = dist
     for _ in range(_BFS_ITERS):
-        reached = edges.join(
-            dist.hint("shuffle_hash"), dist.node == edges.src
+        expanded = edges.join(
+            frontier.hint("shuffle_hash"), frontier.node == edges.src
         ).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
-        dist = (
-            dist.unionByName(reached)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
+        cand = expanded.groupBy("node").agg(F.min("dist").alias("dist"))
+        # delta: keep only nodes never reached before — anything already
+        # in dist carries a strictly smaller distance by level order
+        frontier = cand.join(dist, "node", "left_anti").localCheckpoint()
+        dist = dist.unionByName(frontier)
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
