@@ -363,6 +363,77 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 5
+
+
+@register(
+    "sim_join_knn",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nb_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nb_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_KNN_K}
+    """,
+)
+def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: for EVERY vector its top-5 cosine neighbors — the
+    all-items variant of sim_search_topk (which serves 5 probe
+    queries), and the primitive behind hard-negative mining, semantic
+    dedup clustering and retrieval-index evaluation.
+
+    Same candidate discipline as dedup_embedding: equi-join on the
+    coarse cell (label here; a k-means/LSH cell id computed
+    identically for both sides at 100 TB, cf. sim_search_ivf's
+    broadcast centroid rows), norms folded into the rounded cosine
+    once per pair, NO all-pairs cross join.  The per-vector top-k is
+    a window partitioned by vec_id ordering by (rounded cosine desc,
+    nb_id) — a unique order key, so ranks are engine-stable — which
+    Spark executes with WindowGroupLimit: partitions drop rows past
+    k before the sort completes, O(k) state per vector at any scale.
+    Cosine symmetry (score(a,b) = score(b,a)) can halve the pair
+    work at cluster scale by scoring a < b once and unioning the
+    mirrored half before the window; at fixture scale the direct
+    join keeps the plan single-pass."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = e.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb")) & (F.col("vec_id") != F.col("nb_id")),
+        )
+        .select("vec_id", "nb_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _KNN_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: full connected components over the verified near-dup edges
 # ---------------------------------------------------------------------------

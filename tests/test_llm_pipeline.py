@@ -359,3 +359,30 @@ def test_triangles_closed_clusters_vs_open_chains(spark, tmp_path):
     out = {r["doc_id"]: r["n_triangles"] for r in QUERIES["graph_triangles"](spark, sf).collect()}
     assert out[1] == out[2] == out[3] == 1
     assert out[5] == out[6] == out[7] == 0
+
+
+def test_knn_join_per_vector_contract(spark, sf_dir):
+    # every vector gets exactly min(K, |cell|-1) neighbors, ranks are
+    # contiguous from 1, cosine is non-increasing in rank, no self
+    # neighbor, and neighbors stay inside the blocking cell
+    import collections
+
+    from task_mapreduce_spark.operators.llm_extras import _KNN_K
+    from task_mapreduce_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    label_of = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    cell_sizes = collections.Counter(label_of.values())
+    by_vec = collections.defaultdict(list)
+    for r in QUERIES["sim_join_knn"](spark, sf_dir).collect():
+        by_vec[r["vec_id"]].append(r)
+    assert set(by_vec) == set(label_of)
+    for vid, rows in by_vec.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(
+            range(1, min(_KNN_K, cell_sizes[label_of[vid]] - 1) + 1)
+        )
+        assert all(r["nb_id"] != vid for r in rows)
+        assert all(label_of[r["nb_id"]] == label_of[vid] for r in rows)
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
