@@ -483,7 +483,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator, exercised by dedup_near_minhash's goldens) changes no
     downstream shape.  Each iteration is one equi-join + one min-agg
     — the standard distributed CC (label propagation; alternating-star
-    optimizations apply at extreme diameters).  Iterations are bounded
+    optimizations apply at extreme diameters) — in its DELTA form:
+    only labels that improved last round push, so per-round join
+    input is ∝ |changed| and the convergence count is the delta's own
+    cardinality.  Iterations are bounded
     by the component diameter, which for near-dup clusters is tiny; the
     loop exits as soon as a fixpoint is reached (the per-iteration
     convergence check is a metadata-sized count).  ``localCheckpoint``
@@ -492,25 +495,38 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     verified = jaccard_pairs(_doc_token_sets(d)).select("a", "b")
-    # undirected symmetric edge list, then iterate: label(v) =
-    # min(label(v), min over neighbors of label(n))
+    # undirected symmetric edge list, hash-partitioned ONCE on the join
+    # key (the BFS/PageRank layout discipline): each round only the
+    # changed-label table shuffles into it via shuffle-hash
+    par = spark.sparkContext.defaultParallelism
     edges = (
         verified.unionByName(
             verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
+        .repartition(par, "b")
         .localCheckpoint()
     )
     labels = d.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
+    # DELTA propagation: only labels that IMPROVED last round push to
+    # their neighbors (round 0: everyone pushes).  A node's final label
+    # is still transmitted across every edge at least once — in the
+    # round after its last improvement — so the min-fold fixpoint is
+    # identical to full propagation, but per-round join input is
+    # ∝ |changed|, which collapses once big components settle.
+    changed_df = labels
+    changed = -1
     for _ in range(_CC_MAX_ITER):
-        nb_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("label").alias("nb_label"))
-        )
+        push = edges.join(
+            changed_df.select(F.col("doc_id").alias("src"), "label").hint(
+                "shuffle_hash"
+            ),
+            F.col("b") == F.col("src"),
+        ).select(F.col("a").alias("doc_id"), "label")
+        nb_min = push.groupBy("doc_id").agg(F.min("label").alias("nb_label"))
         # carry the old label through the checkpoint so convergence is a
         # scan of the materialized frame, not another join per round
         merged = (
-            labels.join(nb_min, labels.doc_id == nb_min.a, "left")
+            labels.join(nb_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.col("label").alias("old_label"),
@@ -520,7 +536,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = merged.filter(F.col("label") != F.col("old_label")).count()
+        changed_df = merged.filter(F.col("label") != F.col("old_label")).select(
+            "doc_id", "label"
+        )
+        changed = changed_df.count()
         labels = merged.select("doc_id", "label")
         if changed == 0:
             break
