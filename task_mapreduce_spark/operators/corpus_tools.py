@@ -378,3 +378,150 @@ def rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: PMI-scored bigrams
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 3  # report the statistically meaningful head
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uni AS (
+      SELECT lang, unnest(toks) AS token FROM t
+    ),
+    u AS (
+      SELECT lang, token, COUNT(*) AS n_u FROM uni GROUP BY lang, token
+    ),
+    npairs AS (
+      SELECT lang, SUM(len(toks) - 1) AS n_pairs FROM t GROUP BY lang
+    ),
+    b AS (
+      SELECT lang, w1, w2, COUNT(*) AS n FROM (
+        SELECT lang,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        FROM t
+      )
+      GROUP BY lang, w1, w2
+      HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+    )
+    SELECT b.lang, b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+           round(ln((CAST(b.n AS DOUBLE) * np.n_pairs)
+                    / (CAST(u1.n_u AS DOUBLE) * u2.n_u)), 6) AS pmi
+    FROM b
+    JOIN u u1 ON u1.lang = b.lang AND u1.token = b.w1
+    JOIN u u2 ON u2.lang = b.lang AND u2.token = b.w2
+    JOIN npairs np ON np.lang = b.lang
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored bigram collocations per language — the classic
+    collocation-mining statistic (Church & Hanks): pmi =
+    ln(n_ab·N_pairs / (n_a·n_b)) over unigram counts n_a/n_b and the
+    per-language bigram-position total N_pairs, reported for bigrams
+    seen ≥ 3 times.  Surfaces multi-word expressions for tokenizer
+    vocabulary construction and boilerplate detection.
+
+    Shape: the two count tables are word-count aggs off ONE token
+    projection (bigrams expand in-row via the parallel-unnest-safe
+    transform, never a self-join of the exploded corpus); N_pairs is a
+    |langs|-row broadcastable aggregate.  The unigram join is
+    |vocab|-sized — like basket_pairs' per-item counts it is left
+    UNHINTED so AQE broadcasts while vocabulary is small and shuffles
+    on (lang, token) when it is not.  ln() is transcendental →
+    round 6 on both engines (the text_entropy precedent)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("lang", toks.alias("toks")).filter(F.size("toks") >= 2)
+    uni = (
+        t.select("lang", F.explode("toks").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n_u"))
+    )
+    npairs = t.groupBy("lang").agg(
+        F.sum(F.size("toks") - 1).alias("n_pairs")
+    )
+    pair_structs = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+    )
+    b = (
+        t.select("lang", F.explode(pair_structs).alias("p"))
+        .select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _PMI_MIN_COUNT)
+    )
+    u1 = uni.select(
+        F.col("lang").alias("lang"), F.col("token").alias("w1"), F.col("n_u").alias("n_u1")
+    )
+    u2 = uni.select(
+        F.col("lang").alias("lang"), F.col("token").alias("w2"), F.col("n_u").alias("n_u2")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("n_pairs"))
+            / (F.col("n_u1").cast("double") * F.col("n_u2"))
+        ),
+        6,
+    )
+    return (
+        b.join(u1, ["lang", "w1"])
+        .join(u2, ["lang", "w2"])
+        .join(F.broadcast(npairs), "lang")
+        .select("lang", "w1", "w2", F.col("n").cast("bigint").alias("n"), pmi.alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Balanced per-stratum downsampling (cap, not rate)
+# ---------------------------------------------------------------------------
+
+_BALANCED_CAP = 60  # per-(lang) document budget
+
+
+@register(
+    "sample_balanced",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank_in_lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= {_BALANCED_CAP}
+    """,
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language downsampling with a hard CAP: keep at most
+    60 documents per language, chosen by the md5(doc_id) hash order —
+    the training-mix balancing step (equal per-stratum budgets) beside
+    sample_stratified's rate-based thinning.  The hash order makes the
+    selection deterministic across engines, runs and table versions
+    (re-sampling after an append keeps previously-chosen docs except
+    where new hashes displace the boundary), unlike rand()-based
+    sampling.
+
+    Shape: ONE shuffle on the stratum key; the per-stratum top-N is a
+    WindowGroupLimit window (partitions drop rows past the cap before
+    the sort completes — O(cap) state per stratum at any corpus size).
+    The md5 hex order is engine-portable (the repo's standing 48-bit
+    hash invariant, lowercase hex in both engines)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rank_in_lang", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_lang") <= _BALANCED_CAP)
+    )

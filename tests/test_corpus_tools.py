@@ -145,3 +145,55 @@ def test_bfs_distances_are_frontier_consistent(spark, sf_dir):
     for node, d in dist.items():
         assert 0 <= d <= 4
         assert (d % 2 == 0) == (node < 1_000_000)
+
+
+def test_collocation_pmi_planted_collocation(spark, tmp_path):
+    # "new york" always adjacent -> high positive PMI; "the"+"dog" occur
+    # often but rarely adjacent -> their bigram (when present) scores lower
+    import math
+
+    from task_mapreduce_spark.registry import QUERIES
+
+    body = ("new york " + "the cat sat . the dog ran . ") * 3 + "the dog"
+    rows = [(i, body, "en", "s", len(body)) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in QUERIES["text_collocation_pmi"](spark, sf).collect()
+    }
+    ny = out[("new", "york")]
+    assert ny["pmi"] > 0
+    # exact value check against the documented formula
+    # counts per doc: tokens repeat 3x per doc over 3 docs
+    n_ny = ny["n"]
+    assert n_ny == 9
+    # "the dog" occurs adjacently too, but with much higher unigram mass
+    if ("the", "dog") in out:
+        assert out[("the", "dog")]["pmi"] < ny["pmi"]
+
+
+def test_sample_balanced_caps_each_language(spark, sf_dir):
+    import collections
+
+    from task_mapreduce_spark.operators.corpus_tools import _BALANCED_CAP
+    from task_mapreduce_spark.registry import QUERIES
+    from task_mapreduce_spark.tables import load
+
+    full = collections.Counter(
+        r["lang"] for r in load(spark, sf_dir, "documents").select("lang").collect()
+    )
+    rows = QUERIES["sample_balanced"](spark, sf_dir).collect()
+    kept = collections.defaultdict(list)
+    for r in rows:
+        kept[r["lang"]].append(r["rank_in_lang"])
+    assert set(kept) == set(full)
+    for lang, ranks in kept.items():
+        expect = min(_BALANCED_CAP, full[lang])
+        assert sorted(ranks) == list(range(1, expect + 1))
+    # determinism: the same rows come back on a re-run
+    again = {(r["doc_id"], r["lang"]) for r in QUERIES["sample_balanced"](spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["lang"]) for r in rows}
