@@ -361,3 +361,30 @@ def test_topk_rank_keys_use_take_ordered(spark, sf_dir):
     for key in ("text_bm25", "pipeline_retrieval_e2e"):
         plan = plan_of(spark, sf_dir, key, mode="simple")
         assert "TakeOrderedAndProject" in plan, (key, plan)
+
+
+def test_knn_join_group_limit_and_cell_equi_join(spark, sf_dir):
+    # per-vector top-k must be WindowGroupLimit (O(k) state per key),
+    # and candidates must come from the cell equi-join, never a
+    # cartesian (the no-cartesian sweep also covers this)
+    plan = plan_of(spark, sf_dir, "sim_join_knn")
+    assert "WindowGroupLimit" in plan
+
+
+def test_sample_balanced_group_limit(spark, sf_dir):
+    # the per-stratum cap must drop rows past N before the sort
+    plan = plan_of(spark, sf_dir, "sample_balanced")
+    assert "WindowGroupLimit" in plan
+
+
+def test_basket_pairs_lift_joins_unhinted_but_aqe_broadcast(spark, sf_dir):
+    # the |catalog|-sized per-item count joins carry no static broadcast
+    # hint (AQE must stay free to shuffle at scale), yet at fixture
+    # scale AQE converts every join to broadcast — both facts pinned
+    from task_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["basket_pairs"](spark, sf_dir)
+    df.collect()  # AQE final plan materializes after execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
