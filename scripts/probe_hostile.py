@@ -1,0 +1,97 @@
+"""Hostile-harness probes (the verify skill's checklist, automated).
+
+1. TAINTED SESSION TIMEZONE: the driver may hand us a SparkSession
+   whose ``spark.sql.session.timeZone`` is already set to something
+   non-UTC.  ``tune()`` must override it, or every timestamp-touching
+   key silently shifts.  The probe pre-sets America/New_York and
+   re-runs the timestamp keys against their DuckDB oracles.
+2. BOGUS sf_dir: a missing path must surface as Spark's clean
+   PATH_NOT_FOUND AnalysisException, not a hang or a wrong-answer.
+
+Run: ``python scripts/probe_hostile.py`` (exit 0 = all probes pass).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+TS_KEYS = [
+    "tpch_q1",
+    "project_rename_cast",
+    "stream_tumbling",
+    "rollup_hypertable",
+    "sessionize_events",
+    "fn_date",
+]
+
+SF = os.environ.get("SPARK_GRAFT_PROBE_SF", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")  # taint
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "entry_probe", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    fails = []
+    for key in TS_KEYS:
+        sdf = queries[key](spark, SF)
+        scols = sorted(sdf.columns)
+        srows = sorted(
+            tuple(str(r[c]) for c in scols) for r in sdf.collect()
+        )
+        cur = con.execute(oracles[key])
+        ocols_raw = [d[0] for d in cur.description]
+        order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+        orows = sorted(
+            tuple(str(row[i]) for i in order) for row in cur.fetchall()
+        )
+        ok = srows == orows and scols == sorted(ocols_raw)
+        print(f"tz-probe {key}: {'ok' if ok else 'MISMATCH'} rows={len(srows)}")
+        if not ok:
+            fails.append(key)
+
+    # bogus sf_dir: expect a clean analysis-time path error
+    try:
+        queries["tpch_q1"](spark, "/root/testdata/sf_nonexistent").collect()
+        print("bogus-dir probe: NO ERROR (bad)")
+        fails.append("bogus_dir")
+    except Exception as exc:  # noqa: BLE001 — the class name is the assertion
+        name = type(exc).__name__
+        ok = "AnalysisException" in name or "PATH_NOT_FOUND" in str(exc)
+        print(f"bogus-dir probe: {'ok' if ok else 'UNEXPECTED'} ({name})")
+        if not ok:
+            fails.append("bogus_dir")
+
+    print("PROBE FAILS:", ", ".join(fails) if fails else "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
