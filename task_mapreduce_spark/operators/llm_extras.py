@@ -315,6 +315,20 @@ def _dot(a, b):
     )
 
 
+def _normed_vectors(emb: DataFrame, *extra_cols: str) -> DataFrame:
+    """(vec_id, *extra_cols, v: array<double>, nrm) — the ONE embedding
+    projection for the whole cosine family (dedup_embedding,
+    sim_join_knn, sim_search_ann, sim_search_ivf): double-cast once,
+    norm once per vector.  Keeping the cast/norm discipline in a single
+    place is what keeps the rounded-cosine oracle identity holding
+    across every operator that builds on it."""
+    return emb.select(
+        "vec_id",
+        *extra_cols,
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
 @register(
     "dedup_embedding",
     oracle="""
@@ -332,21 +346,24 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the label column (the
     coarse IVF cell: at 100 TB the blocker is a k-means/LSH cell id
     computed the same way for both sides).  Equi-join on the cell, exact
-    cosine inside — the all-pairs cross join never happens."""
+    cosine inside — the all-pairs cross join never happens.
+
+    The fixture has only ~10 distinct cells, so the CPU-heavy scoring
+    join gets the same serialize-killer defense as sim_join_knn and
+    the band joins: broadcast the checkpointed build side, round-robin
+    repartition the probe — at cluster scale (√N cells) the plain
+    keyed shuffle takes over, see sim_join_knn's docstring."""
     emb = load(spark, sf_dir, "embeddings")
     # norms computed ONCE per vector before the join — computing them
     # per pair would redo 2/3 of the floating-point work |pairs| times
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    par = spark.sparkContext.defaultParallelism
+    e = _normed_vectors(emb, "label").localCheckpoint()
     a = e.select(
         F.col("vec_id").alias("a"),
         F.col("label").alias("label"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
-    )
+    ).repartition(par)
     b = e.select(
         F.col("vec_id").alias("b"),
         F.col("label").alias("label_b"),
@@ -357,7 +374,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")))
+        a.join(
+            F.broadcast(b),
+            (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")),
+        )
         .select("a", "b", F.col("label").cast("bigint").alias("label"), cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
@@ -399,22 +419,30 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb_id) — a unique order key, so ranks are engine-stable — which
     Spark executes with WindowGroupLimit: partitions drop rows past
     k before the sort completes, O(k) state per vector at any scale.
-    Cosine symmetry (score(a,b) = score(b,a)) can halve the pair
-    work at cluster scale by scoring a < b once and unioning the
-    mirrored half before the window; at fixture scale the direct
-    join keeps the plan single-pass."""
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    The scoring join is per-row-CPU-heavy with only ~10 distinct cell
+    keys on the FIXTURE, i.e. the CLAUDE.md serialize-killer shape: a
+    keyed shuffle would confine the dot-product work to ≤ |cells|
+    tasks.  Defense as in the minhash/simhash band joins: broadcast
+    the (checkpointed) build side, round-robin ``repartition(par)``
+    the probe side — every core gets an equal scoring slice.  At
+    cluster scale the cell id is a k-means/LSH code with ~√N distinct
+    values, so a keyed shuffle spreads naturally and the plain
+    equi-join (no broadcast — the vector table is |corpus|-sized) is
+    the right plan; the broadcast is the degenerate-cell-count fixture
+    defense, exactly as in the band joins.  Cosine symmetry
+    (score(a,b) = score(b,a)) can additionally halve the pair work at
+    cluster scale by scoring a < b once and unioning the mirrored
+    half before the window."""
+    par = spark.sparkContext.defaultParallelism
+    # checkpoint: the cast+norm projection feeds both join sides (and
+    # the broadcast ships materialized rows, not replayed lineage)
+    e = _normed_vectors(load(spark, sf_dir, "embeddings"), "label").localCheckpoint()
     a = e.select(
         F.col("vec_id").alias("vec_id"),
         F.col("label").alias("la"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
-    )
+    ).repartition(par)
     b = e.select(
         F.col("vec_id").alias("nb_id"),
         F.col("label").alias("lb"),
@@ -425,7 +453,7 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("la") == F.col("lb")) & (F.col("vec_id") != F.col("nb_id")),
         )
         .select("vec_id", "nb_id", cos.alias("cosine"))
@@ -666,11 +694,7 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count must be known at plan-build time to emit that many sign
     # bits; the oracle recomputes the same formula from count(*).
     planes = _hyperplanes()[: _n_planes(emb.count())]
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    e = _normed_vectors(emb)
     bucket = None
     for i, p in enumerate(planes):
         proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in p]))
@@ -678,13 +702,7 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # across engines/SIMD fold orders (see _ann_oracle)
         bit = F.when(F.round(proj, 6) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    # norm once per vector (see dedup_embedding), bucket as a narrow col
-    e = e.select(
-        "vec_id",
-        "v",
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
-        bucket.cast("int").alias("bucket"),
-    )
+    e = e.select("vec_id", "v", "nrm", bucket.cast("int").alias("bucket"))
 
     probes = e.filter(F.col("vec_id") < _ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1368,9 +1386,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell assignment is stable across engines' SIMD fold orders; scores
     are cosine rounded to 6 (same discipline as the whole family)."""
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    e = _normed_vectors(emb)
     params = e.agg(F.count(F.lit(1)).alias("n")).select(
         F.greatest(
             F.lit(1).cast("long"),

@@ -104,10 +104,15 @@ def minhash_edges(
     ``verified_pairs``: a precomputed COMPLETE J ≥ _JACCARD_T pair list
     (a < b).  When given, LSH candidates are verified by a semi-join
     against it instead of re-computing shingle-set intersections —
-    exact because verified-LSH ≡ candidates ∩ {all qualifying pairs}
-    under the identical integer threshold.  dedup_near_minhash passes
-    its exact-certificate side here so the expensive array-Jaccard
-    verify join runs ONCE per pipeline, not twice."""
+    verified-LSH ≡ candidates ∩ {all qualifying pairs} under the
+    identical integer threshold, with one deliberate edge divergence:
+    a pair of NULL-shingle docs (NULL text) would have passed the old
+    inline verify via size(NULL)=-1 arithmetic, while the exact pair
+    list drops null-token rows at its inner joins — the saner
+    semantics, and unobservable on non-null corpora.
+    dedup_near_minhash passes its exact-certificate side here so the
+    expensive array-Jaccard verify join runs ONCE per pipeline, not
+    twice."""
     if sh is None:
         sh = _shingles(d)
     hashed = sh.select(
@@ -220,11 +225,11 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
     # statistics: vocabulary width AND estimated packed size.  Above
     # the broadcast budget the inverted-index count join below takes
     # over — fully shuffle-based, no |corpus|-bound broadcast.
-    ndocs = sh.count()
     nw_est = (nvocab + 63) // 64
-    if (
-        nvocab <= _BITMAP_VOCAB_MAX
-        and ndocs * (nw_est + 3) * 8 <= _BITMAP_BCAST_BYTES_MAX
+    if nvocab <= _BITMAP_VOCAB_MAX and (
+        # the corpus-count job only runs once the vocab gate passed —
+        # the large-vocabulary path must not pay a wasted |corpus| scan
+        sh.count() * (nw_est + 3) * 8 <= _BITMAP_BCAST_BYTES_MAX
     ):
         nw = nw_est
         dictionary = (

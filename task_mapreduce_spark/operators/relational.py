@@ -328,7 +328,8 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.first("__bounds").alias("bounds"))
         .collect()
     )  # ≤ n+1 rows of metadata, each carrying the (identical) bounds array
-    bounds = stat[0]["bounds"] if stat else []
+    # `or []`: an all-NULL sort column yields rows but a NULL bounds array
+    bounds = (stat[0]["bounds"] if stat else None) or []
     offsets, acc = [], 0
     # descending sort → highest bucket id ranks first
     for r in sorted(stat, key=lambda r: -r["pid"]):
