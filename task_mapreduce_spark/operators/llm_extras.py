@@ -315,6 +315,29 @@ def _dot(a, b):
     )
 
 
+# serialize-killer defense budget for the cell-blocked cosine joins:
+# broadcast the build side only while the packed vector table fits
+# (≈ dim·8 B + ids per row); above it the plain keyed equi-join takes
+# over — at that scale the cell id is a √N-valued k-means/LSH code,
+# so the keyed shuffle spreads on its own (see sim_join_knn docstring)
+_COS_BCAST_BYTES_MAX = 64 << 20
+_COS_ROW_BYTES_EST = 64 * 8 + 64
+
+
+def _cell_join_sides(e: DataFrame):
+    """(probe_transform, build_transform) for a cell-blocked scoring
+    self-join over the checkpointed normed-vector frame ``e``: while
+    the build side fits `_COS_BCAST_BYTES_MAX` the build is broadcast
+    and the probe round-robin-repartitioned (the few-distinct-cells
+    fixture defense); above the budget both sides pass through
+    untouched and the keyed shuffle handles distribution."""
+    small = e.count() * _COS_ROW_BYTES_EST <= _COS_BCAST_BYTES_MAX
+    par = e.sparkSession.sparkContext.defaultParallelism
+    if small:
+        return (lambda a: a.repartition(par)), F.broadcast
+    return (lambda a: a), (lambda b: b)
+
+
 def _normed_vectors(emb: DataFrame, *extra_cols: str) -> DataFrame:
     """(vec_id, *extra_cols, v: array<double>, nrm) — the ONE embedding
     projection for the whole cosine family (dedup_embedding,
@@ -351,19 +374,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture has only ~10 distinct cells, so the CPU-heavy scoring
     join gets the same serialize-killer defense as sim_join_knn and
     the band joins: broadcast the checkpointed build side, round-robin
-    repartition the probe — at cluster scale (√N cells) the plain
-    keyed shuffle takes over, see sim_join_knn's docstring."""
+    repartition the probe, gated on estimated build bytes
+    (:func:`_cell_join_sides`) — at cluster scale (√N cells) the
+    plain keyed shuffle takes over, see sim_join_knn's docstring."""
     emb = load(spark, sf_dir, "embeddings")
     # norms computed ONCE per vector before the join — computing them
     # per pair would redo 2/3 of the floating-point work |pairs| times
-    par = spark.sparkContext.defaultParallelism
     e = _normed_vectors(emb, "label").localCheckpoint()
-    a = e.select(
-        F.col("vec_id").alias("a"),
-        F.col("label").alias("label"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    ).repartition(par)
+    probe_t, build_t = _cell_join_sides(e)
+    a = probe_t(
+        e.select(
+            F.col("vec_id").alias("a"),
+            F.col("label").alias("label"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+    )
     b = e.select(
         F.col("vec_id").alias("b"),
         F.col("label").alias("label_b"),
@@ -375,7 +401,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(
-            F.broadcast(b),
+            build_t(b),
             (F.col("label") == F.col("label_b")) & (F.col("a") < F.col("b")),
         )
         .select("a", "b", F.col("label").cast("bigint").alias("label"), cos.alias("cosine"))
@@ -429,20 +455,25 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, so a keyed shuffle spreads naturally and the plain
     equi-join (no broadcast — the vector table is |corpus|-sized) is
     the right plan; the broadcast is the degenerate-cell-count fixture
-    defense, exactly as in the band joins.  Cosine symmetry
+    defense, exactly as in the band joins, and is GATED on the
+    estimated build-side bytes (:func:`_cell_join_sides`) so an
+    oversized corpus falls back to the keyed join by construction
+    rather than by hope.  Cosine symmetry
     (score(a,b) = score(b,a)) can additionally halve the pair work at
     cluster scale by scoring a < b once and unioning the mirrored
     half before the window."""
-    par = spark.sparkContext.defaultParallelism
     # checkpoint: the cast+norm projection feeds both join sides (and
     # the broadcast ships materialized rows, not replayed lineage)
     e = _normed_vectors(load(spark, sf_dir, "embeddings"), "label").localCheckpoint()
-    a = e.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("label").alias("la"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    ).repartition(par)
+    probe_t, build_t = _cell_join_sides(e)
+    a = probe_t(
+        e.select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("label").alias("la"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+    )
     b = e.select(
         F.col("vec_id").alias("nb_id"),
         F.col("label").alias("lb"),
@@ -453,7 +484,7 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
     return (
         a.join(
-            F.broadcast(b),
+            build_t(b),
             (F.col("la") == F.col("lb")) & (F.col("vec_id") != F.col("nb_id")),
         )
         .select("vec_id", "nb_id", cos.alias("cosine"))
