@@ -441,11 +441,19 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 6 on both engines (the text_entropy precedent)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    t = d.select("lang", toks.alias("toks")).filter(F.size("toks") >= 2)
+    # the token projection feeds three consumers (unigrams, totals,
+    # bigrams) and the unigram table two join branches — checkpoint
+    # both so the scan+tokenize and the unigram agg each run once
+    t = (
+        d.select("lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .localCheckpoint()
+    )
     uni = (
         t.select("lang", F.explode("toks").alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n_u"))
+        .localCheckpoint()
     )
     npairs = t.groupBy("lang").agg(
         F.sum(F.size("toks") - 1).alias("n_pairs")

@@ -92,7 +92,6 @@ def _shingles(d: DataFrame) -> DataFrame:
 def minhash_edges(
     d: DataFrame,
     sh: DataFrame | None = None,
-    verified_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup edge list (a, b) with a < b — the shared
     candidate-generation + verification pipeline behind
@@ -101,18 +100,14 @@ def minhash_edges(
     precomputed (ideally localCheckpoint'd) shingle frame to share the
     tokenization scan with sibling pipelines.
 
-    ``verified_pairs``: a precomputed COMPLETE J ≥ _JACCARD_T pair list
-    (a < b).  When given, LSH candidates are verified by a semi-join
-    against it instead of re-computing shingle-set intersections —
-    verified-LSH ≡ candidates ∩ {all qualifying pairs} under the
-    identical integer threshold, with one deliberate edge divergence:
-    a pair of NULL-shingle docs (NULL text) would have passed the old
-    inline verify via size(NULL)=-1 arithmetic, while the exact pair
-    list drops null-token rows at its inner joins — the saner
-    semantics, and unobservable on non-null corpora.
-    dedup_near_minhash passes its exact-certificate side here so the
-    expensive array-Jaccard verify join runs ONCE per pipeline, not
-    twice."""
+    The verify stage DELIBERATELY recomputes the array Jaccard instead
+    of semi-joining against dedup_near_minhash's exact pair list, even
+    though the latter is cheaper: ``lsh_consistent``'s whole value is
+    that the LSH edge set is derived INDEPENDENTLY of the exact
+    certificate, so a bug in either Jaccard implementation breaks the
+    subset property and the oracle catches it.  A shared verify would
+    make the certificate bit true by construction — vacuous.  (Tried
+    in round 4, reverted by review.)"""
     if sh is None:
         sh = _shingles(d)
     hashed = sh.select(
@@ -170,8 +165,6 @@ def minhash_edges(
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    if verified_pairs is not None:
-        return cand.join(verified_pairs.select("a", "b"), ["a", "b"], "leftsemi")
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -384,18 +377,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with it, exactly like agg_approx_distinct drops its countDistinct.
     """
     d = load(spark, sf_dir, "documents")
-    # One shingle scan feeds FOUR consumers (vocab stat, dictionary,
-    # bitmap build, LSH signatures) — checkpoint it once.
+    # One shingle scan feeds FIVE consumers (vocab stat, dictionary,
+    # bitmap build, LSH signatures, LSH verify) — checkpoint it once.
     sh = _shingles(d).localCheckpoint()
-    # ONE shingle-intersection join for the whole operator: the exact
-    # pair list is both the certificate's edge set AND the LSH verify
-    # oracle (a semi-join inside minhash_edges) — the two sides used
-    # to each pay their own intersection pass.
+    # the exact pair list symmetrizes into two union branches inside
+    # edges_to_clusters — checkpoint so the bitmap band join runs once
     exact_pairs = _exact_shingle_pairs(sh).localCheckpoint()
     exact = edges_to_clusters(d, exact_pairs)
-    lsh = edges_to_clusters(
-        d, minhash_edges(d, sh, verified_pairs=exact_pairs)
-    ).select(
+    # NOTE: minhash_edges verifies with its OWN array-Jaccard pass, NOT
+    # against exact_pairs — the independence is what makes the
+    # lsh_consistent certificate falsifiable (see minhash_edges).
+    lsh = edges_to_clusters(d, minhash_edges(d, sh)).select(
         F.col("doc_id").alias("l_doc_id"),
         F.col("cluster_id").alias("l_cluster_id"),
         F.col("n_dups").alias("l_n_dups"),

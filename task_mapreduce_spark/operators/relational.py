@@ -313,11 +313,18 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__bounds")
     )
     # same arithmetic as _pid_from_literal_bounds: 1 + #distinct
-    # boundaries strictly below the value
+    # boundaries strictly below the value.  greatest(·, 0) on top of
+    # coalesce: size(NULL) is NULL on this Spark build but -1 on
+    # legacy-sizeOfNull builds (CLAUDE.md: the build swaps between
+    # rounds), and a -1 here would desync the counting pass (pid=0)
+    # from the literal ranking pass (pid=1), emptying the join.
     pid_bcast = (
         F.lit(1)
-        + F.coalesce(
-            F.size(F.filter("__bounds", lambda b: b < F.col("o_totalprice"))),
+        + F.greatest(
+            F.coalesce(
+                F.size(F.filter("__bounds", lambda b: b < F.col("o_totalprice"))),
+                F.lit(0),
+            ),
             F.lit(0),
         )
     ).cast("long")

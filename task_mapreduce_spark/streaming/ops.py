@@ -478,7 +478,16 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
+    retired = f"{compact}.old"
+
     def state_paths() -> list[str]:
+        # crash recovery: a retired store only exists if a swap died
+        # between its two renames — the consumed partials are then
+        # still on disk (they are deleted strictly after the swap), so
+        # retired + partials is a complete, pre-compaction state.  The
+        # staging dir is never read: it is incomplete until renamed.
+        if not os.path.isdir(compact) and os.path.isdir(retired):
+            os.rename(retired, compact)
         paths = [compact] if os.path.isdir(compact) else []
         if os.path.isdir(part_root):
             paths += sorted(
@@ -497,9 +506,16 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             consumed = state_paths()
             folded = latest_per_user(sp.read.schema(schema).parquet(*consumed))
             staged = f"{compact}.next"
+            shutil.rmtree(staged, ignore_errors=True)
             folded.write.mode("overwrite").parquet(staged)
-            shutil.rmtree(compact, ignore_errors=True)
+            # swap order keeps a readable store at every crash point:
+            # retire current -> promote staged -> drop retired -> drop
+            # consumed partials (so retired+partials stays complete)
+            shutil.rmtree(retired, ignore_errors=True)
+            if os.path.isdir(compact):
+                os.rename(compact, retired)
             os.rename(staged, compact)
+            shutil.rmtree(retired, ignore_errors=True)
             for p in consumed:
                 if p != compact:
                     shutil.rmtree(p, ignore_errors=True)
