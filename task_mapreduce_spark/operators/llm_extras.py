@@ -458,7 +458,17 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     defense, exactly as in the band joins, and is GATED on the
     estimated build-side bytes (:func:`_cell_join_sides`) so an
     oversized corpus falls back to the keyed join by construction
-    rather than by hope.  Cosine symmetry
+    rather than by hope.
+
+    The CELL SIZE is the scale contract: within-cell scoring is
+    all-pairs, so per-item work ∝ cell population (PERF.md measures
+    the adversarial case — ×10 vectors with the cell count pinned →
+    ×100 pair work).  At 100 TB the cell id is therefore a derived
+    √N-sized code — sim_search_ivf's count-derived centroid stride or
+    sim_search_ann's size-derived hyperplane buckets, both with
+    engine-portable oracles in this repo — never a fixed taxonomy;
+    k-NN quality across sub-cell boundaries comes from hamming-1
+    multiprobe exactly as in sim_search_ann.  Cosine symmetry
     (score(a,b) = score(b,a)) can additionally halve the pair work at
     cluster scale by scoring a < b once and unioning the mirrored
     half before the window."""
