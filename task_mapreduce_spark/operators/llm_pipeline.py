@@ -167,8 +167,21 @@ def minhash_edges(
     )
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # clamp inter to >= 0 and union to >= 1: on legacy-sizeOfNull
+    # builds size(NULL) is -1, and a NULL-shingle pair would verify at
+    # (-1)/(-1) = 1.0 while the exact certificate side drops those
+    # rows at its inner joins.  Clamped, the degenerate pair scores
+    # 0/1 = 0.0 and is dropped, keeping LSH ⊆ exact on every build
+    # (the sort_global guard's twin).  NaN would NOT work here: Spark
+    # orders NaN above every number, so 0/0 = NaN would PASS >= 0.5.
+    # Genuine pairs are unaffected — a real shingle union is never
+    # smaller than 1.
+    inter = F.greatest(
+        F.size(F.array_intersect("sh_a", "sh_b")), F.lit(0)
+    ).cast("double")
+    union = F.greatest(
+        F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
+    ).cast("double")
     return (
         cand.join(sa, "a")
         .join(sb, "b")
@@ -386,8 +399,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = edges_to_clusters(d, exact_pairs)
     # NOTE: minhash_edges verifies with its OWN array-Jaccard pass, NOT
     # against exact_pairs — the independence is what makes the
-    # lsh_consistent certificate falsifiable (see minhash_edges).
-    lsh = edges_to_clusters(d, minhash_edges(d, sh)).select(
+    # lsh_consistent certificate falsifiable (see minhash_edges).  The
+    # edge list checkpoints for the same reason exact_pairs does: it
+    # symmetrizes into two union branches inside edges_to_clusters.
+    lsh = edges_to_clusters(d, minhash_edges(d, sh).localCheckpoint()).select(
         F.col("doc_id").alias("l_doc_id"),
         F.col("cluster_id").alias("l_cluster_id"),
         F.col("n_dups").alias("l_n_dups"),

@@ -386,3 +386,24 @@ def test_knn_join_per_vector_contract(spark, sf_dir):
         assert all(label_of[r["nb_id"]] == label_of[vid] for r in rows)
         cosines = [r["cosine"] for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_minhash_certificate_survives_null_text_docs(spark, tmp_path):
+    # NULL-text docs produce NULL shingle arrays: they share a (null)
+    # band hash and become LSH candidates, but must NOT verify as
+    # edges — the exact certificate side drops null-token rows at its
+    # inner joins, so an admitted null pair would flip lsh_consistent
+    # to false (on legacy-sizeOfNull builds the unclamped arithmetic
+    # scored such pairs (-1)/(-1) = 1.0; the clamp pins 0/1 = 0)
+    rows = [
+        (1, BASE, "en", "s", len(BASE)),
+        (2, NEAR, "en", "s", len(NEAR)),
+        (3, None, "en", "s", 0),
+        (4, None, "en", "s", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_near_minhash"](spark, sf).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(r["lsh_consistent"] for r in out.values())
+    # the null docs are singletons on both sides
+    assert out[3]["n_dups"] == 0 and out[4]["n_dups"] == 0
