@@ -36,7 +36,7 @@ _KV_SCHEMA = "k STRING, v STRING"
 def map_reduce(
     records: DataFrame,
     mapper: MapFn,
-    reducer: ReduceFn,
+    reducer: ReduceFn | None,
     combiner: ReduceFn | None = None,
     key_col: str = "k",
     value_col: str = "v",
@@ -49,6 +49,12 @@ def map_reduce(
     MR contract); it runs map-side so the shuffle carries one value per
     (Arrow batch, key) instead of every mapped pair — batches default
     to 10k rows, so that's still ~a 10^4 shuffle reduction on hot keys.
+
+    ``reducer=None`` declares a MAP-ONLY job (Hadoop's
+    ``numReduceTasks=0``): mapper output is the job output, with no
+    shuffle, no per-key grouping, no sort — the right contract for
+    grep/filter/transform jobs, where forcing every record through a
+    single-row reduce group costs a full exchange for an identity.
     """
     kv = records.select(key_col, value_col)
 
@@ -79,6 +85,9 @@ def map_reduce(
                 yield pd.DataFrame({"k": out_k, "v": out_v})
 
         mapped = mapped.mapInPandas(run_combine, _KV_SCHEMA)
+
+    if reducer is None:  # map-only job: no shuffle, mapper output IS the output
+        return mapped
 
     def run_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
         k2 = pdf["k"].iloc[0]

@@ -6,6 +6,9 @@ from task_mapreduce_spark.operators import graph  # noqa: F401
 from task_mapreduce_spark.operators import joins  # noqa: F401
 from task_mapreduce_spark.operators import llm_extras  # noqa: F401
 from task_mapreduce_spark.operators import llm_pipeline  # noqa: F401
+# curation builds its oracles from llm_extras/llm_pipeline's registered
+# SQL, so it must import after them
+from task_mapreduce_spark.operators import curation  # noqa: F401
 from task_mapreduce_spark.operators import mapreduce_jobs  # noqa: F401
 from task_mapreduce_spark.operators import pipelines  # noqa: F401
 from task_mapreduce_spark.operators import relational  # noqa: F401

@@ -1,0 +1,372 @@
+"""Corpus-curation operators (round 5): mixture sampling, boilerplate
+detection, duplicate-cluster resolution, and ANN index evaluation.
+
+These are the curation passes a training-data pipeline runs between
+the dedup family and the packing/splitting keys already registered:
+pick HOW MUCH of each source to keep (``corpus_mix_weighted``), find
+corpus-wide boilerplate spans (``text_boilerplate_ngrams``), decide
+WHICH duplicate survives (``dedup_resolve_best``), and measure the
+approximate index against the exact one (``sim_eval_recall``).
+
+No reference citation is possible: ``/root/reference/`` is an empty
+checkout (SURVEY.md §0); the capability bar is SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from task_mapreduce_spark.operators.llm_extras import (
+    _DECON_SHINGLES_SQL,
+    _FP_WINDOW,
+    dedup_cluster_cc,
+    sim_search_ann,
+)
+from task_mapreduce_spark.operators.llm_pipeline import sim_search_topk
+from task_mapreduce_spark.registry import ORACLES, register
+from task_mapreduce_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_weighted — deterministic weighted source-mixing sampler
+# ---------------------------------------------------------------------------
+
+# target mixture weights per language (integer ratios, so every
+# acceptance threshold below is integer-exact in BOTH engines)
+_MIX_WEIGHTS = {"de": 1, "en": 4, "es": 2, "fr": 2, "zh": 1}
+_MIX_W_TOTAL = sum(_MIX_WEIGHTS.values())
+_HASH_SPACE = 1 << 48  # the portable 48-bit md5 hash domain
+
+
+def _mix_oracle() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+    WITH w(lang, w) AS (VALUES {vals}),
+    counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    cw AS (SELECT c.lang, c.n_docs, w.w FROM counts c JOIN w USING (lang)),
+    ref AS (
+      SELECT n_docs AS n_ref, w AS w_ref FROM cw
+      ORDER BY CAST(n_docs AS DOUBLE) / w, lang LIMIT 1
+    ),
+    d AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM documents
+    ),
+    flags AS (
+      SELECT d.lang,
+             (h::HUGEINT * w_ref * n_docs
+                < w::HUGEINT * n_ref * {_HASH_SPACE}) AS keep
+      FROM d JOIN cw USING (lang) CROSS JOIN ref
+    ),
+    per AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             COUNT(CASE WHEN keep THEN 1 END) AS n_kept
+      FROM flags GROUP BY lang
+    )
+    SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.n_kept AS BIGINT) AS n_kept,
+           CAST(w.w * 1000000 // {_MIX_W_TOTAL} AS BIGINT) AS target_ppm,
+           round(CAST(p.n_kept AS DOUBLE) / SUM(p.n_kept) OVER (), 6)
+             AS achieved_frac
+    FROM per p JOIN w USING (lang)
+    """
+
+
+@register("corpus_mix_weighted", oracle=_mix_oracle())
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted data-mixing sampler: downsample each
+    language stratum so the OUTPUT hits target mixture proportions
+    (the pretraining data-mix step — e.g. 40% en, 20% es/fr, 10%
+    de/zh) at the maximum volume those proportions allow.
+
+    The per-stratum acceptance rate is r_l = (w_l/W)·c/n_l with c
+    pinned by the scarcest stratum (argmin n/w keeps rate ≤ 1), and
+    the keep decision is the repo's portable 48-bit md5 hash compared
+    against that rate — but the comparison is INTEGER-EXACT, never a
+    float threshold: keep iff h·w_ref·n_l < w_l·n_ref·2^48, evaluated
+    in decimal(33,0) on the Spark side and HUGEINT in DuckDB, so both
+    engines keep bit-identical document sets (a double threshold could
+    flip a boundary hash).  Like sample_stratified, the decision is a
+    pure function of doc_id — reruns and backfills can never churn the
+    mix.
+
+    100 TB shape: the per-lang count table is |langs| rows (broadcast),
+    the argmin reference is ONE row (the metadata-row crossJoin
+    pattern), and the keep flag is a scan-side narrow map — the corpus
+    itself never shuffles; only per-lang partial counts do.  Decimal
+    bounds hold to n_l ≤ 1e12 docs per stratum (decimal(15+4+12+2,0)
+    = 33 ≤ 38 digits, exact)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(_MIX_WEIGHTS.items()) for x in kv]
+    )
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", wmap[F.col("lang")].cast("long"))
+    )
+    # scarcest stratum pins the global volume: argmin (n/w, lang) — the
+    # ratio is ONE IEEE division, identical in both engines, and lang
+    # breaks ties deterministically
+    ref = counts.agg(
+        F.min(
+            F.struct(
+                (F.col("n_docs").cast("double") / F.col("w")).alias("ratio"),
+                F.col("lang").alias("lang"),
+                F.col("n_docs").alias("n_ref"),
+                F.col("w").alias("w_ref"),
+            )
+        ).alias("m")
+    ).select(F.col("m.n_ref").alias("n_ref"), F.col("m.w_ref").alias("w_ref"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    keep = (
+        F.col("h").cast("decimal(15,0)")
+        * F.col("w_ref").cast("decimal(4,0)")
+        * F.col("n_docs").cast("decimal(12,0)")
+    ) < (
+        F.col("w").cast("decimal(4,0)")
+        * F.col("n_ref").cast("decimal(12,0)")
+        * F.lit(_HASH_SPACE).cast("decimal(15,0)")
+    )
+    flags = (
+        docs.withColumn("h", h)
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(ref))
+        .select("lang", keep.alias("keep"))
+    )
+    per = flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), F.lit(1))).alias("n_kept"),
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        ((wmap[F.col("lang")].cast("long") * 1000000) / _MIX_W_TOTAL)
+        .cast("bigint")
+        .alias("target_ppm"),
+        F.round(
+            F.col("n_kept").cast("double") / F.sum("n_kept").over(total), 6
+        ).alias("achieved_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_ngrams — corpus-wide repeated-shingle detection
+# ---------------------------------------------------------------------------
+
+_BOILER_DF = 3  # a shingle in ≥ 3 documents counts as boilerplate
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH shingles AS ({_DECON_SHINGLES_SQL}),
+    flat AS (
+      SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h FROM shingles
+    ),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM flat GROUP BY h)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(COUNT(CASE WHEN df >= {_BOILER_DF} THEN 1 END) AS BIGINT)
+             AS n_boiler,
+           round(CAST(COUNT(CASE WHEN df >= {_BOILER_DF} THEN 1 END) AS DOUBLE)
+                   / n_shingles, 6) AS boiler_frac
+    FROM flat JOIN dfreq USING (h)
+    GROUP BY doc_id, n_shingles
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus boilerplate screen: per document, the fraction of
+    its distinct 4-token shingles that recur in ≥ 3 documents — the
+    C4/RefinedWeb-style "repeated span" signal (navigation chrome,
+    license blocks, templated headers) that intra-doc repetition
+    (quality_repetition) and train/eval overlap (decontaminate_ngrams)
+    both miss.
+
+    Same engine-portable Rabin-Karp shingle hashes as text_fingerprint
+    and decontaminate_ngrams, deduplicated in-row per doc (so df is a
+    DOCUMENT frequency, each doc votes once per shingle).  100 TB
+    shape: the flat (doc, shingle) table shuffles once on the shingle
+    hash to build the df table, and the flag join is the SAME
+    h-keyed equi-join — word-count shape twice over, map-side partials
+    on both aggs, no broadcast of anything corpus-sized (the
+    boilerplate set is NOT bounded small, so unlike decontaminate's
+    MB-sized eval side it must stay a keyed join).  ``explode_outer``
+    per the InferFiltersFromGenerate invariant — the inner join on
+    ``h`` drops the null rows an empty array would emit."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    codes = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long"))
+    c = d.select("doc_id", codes.alias("cs")).filter(F.size("cs") >= _FP_WINDOW)
+    win_hashes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("cs") - (_FP_WINDOW - 1)),
+            lambda i: (
+                (F.element_at(F.col("cs"), i) * 131 + F.element_at(F.col("cs"), i + 1))
+                * 131
+                + F.element_at(F.col("cs"), i + 2)
+            )
+            * 131
+            + F.element_at(F.col("cs"), i + 3),
+        )
+    )
+    flat = c.select(
+        "doc_id",
+        F.size(win_hashes).cast("bigint").alias("n_shingles"),
+        F.explode_outer(win_hashes).alias("h"),
+    )
+    dfreq = flat.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        flat.join(dfreq, "h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(
+            F.count(F.when(F.col("df") >= _BOILER_DF, F.lit(1)))
+            .cast("bigint")
+            .alias("n_boiler")
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_resolve_best — which duplicate survives
+# ---------------------------------------------------------------------------
+
+
+def _resolve_oracle() -> str:
+    # reuse the registered transitive-closure oracle verbatim as a
+    # derived table, so the two keys can never disagree on clustering
+    cc_sql = ORACLES["dedup_cluster_cc"]
+    return f"""
+    WITH cc AS (SELECT * FROM ({cc_sql})),
+    m AS (
+      SELECT cc.component_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY cc.component_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cc.component_id) AS n_members
+      FROM cc JOIN documents d USING (doc_id)
+    )
+    SELECT component_id, doc_id AS keep_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS n_chars_kept
+    FROM m WHERE rn = 1 AND n_members >= 2
+    """
+
+
+@register("dedup_resolve_best", oracle=_resolve_oracle())
+def dedup_resolve_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster RESOLUTION: for every multi-member near-dup
+    cluster, the canonical survivor — the longest member, doc_id as
+    the deterministic tiebreak.  Dedup families answer "which docs are
+    duplicates"; a pipeline also needs "which one do we keep", and
+    keep-by-quality (not keep-first-seen) is the production choice:
+    near-dup variants differ in truncation/mojibake, and arrival order
+    is an accident of the crawl.
+
+    Clusters come from the registered ``dedup_cluster_cc`` operator
+    (imported, like the pipeline_* keys import theirs), so resolution
+    inherits its transitive-closure guarantee and its oracle CTE
+    verbatim.  The survivor pick is ONE hash-aggregate per component —
+    max over the (n_chars, -doc_id) struct, no window, no sort: at
+    100 TB the agg state is one struct per component, map-side partials
+    combine freely, and the join feeding it is |corpus|-keyed on
+    doc_id (co-partitioned with the label table cc already shuffles
+    on).  Output is one row per multi-member cluster — metadata-sized
+    relative to the corpus."""
+    cc = dedup_cluster_cc(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = F.max(
+        F.struct(
+            F.col("n_chars").alias("n_chars"), (-F.col("doc_id")).alias("neg_id")
+        )
+    )
+    return (
+        cc.join(d, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            mx.alias("best"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "component_id",
+            (-F.col("best.neg_id")).alias("keep_id"),
+            "n_members",
+            F.col("best.n_chars").cast("bigint").alias("n_chars_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_eval_recall — ANN index quality vs the exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    # both arms reuse their registered oracles verbatim — the eval can
+    # never drift from the operators it evaluates
+    exact_sql = ORACLES["sim_search_topk"]
+    ann_sql = ORACLES["sim_search_ann"]
+    return f"""
+    WITH exact_k AS (SELECT query_id, vec_id FROM ({exact_sql})),
+    ann_k AS (SELECT query_id, vec_id FROM ({ann_sql}))
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+    FROM exact_k e LEFT JOIN ann_k a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@register("sim_eval_recall", oracle=_recall_oracle())
+def sim_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the approximate index against exact ground truth,
+    per query: |ANN top-k ∩ exact top-k| / k.  The metric every ANN
+    deployment monitors — an LSH parameter change (plane count, probe
+    width) shows up here before it shows up as silent retrieval decay.
+
+    Both arms are the REGISTERED operators (sim_search_topk exact,
+    sim_search_ann approximate), imported like the pipeline_* keys
+    import theirs, and the oracle embeds their registered SQL verbatim
+    — so the eval measures exactly what the operators ship.  Scale
+    shape mirrors pipeline_retrieval_e2e: each arm collapses to
+    k·|queries| rows before anything joins, so the hit join and the
+    per-query aggregate are metadata-sized at ANY corpus size; the
+    corpus-scale work lives inside the arms (broadcast-probe scan /
+    LSH bucket join), already plan-pinned by their own tests.  Hits
+    counted via null-skipping COUNT(col) over the left join, not a
+    second join."""
+    exact = sim_search_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = sim_search_ann(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

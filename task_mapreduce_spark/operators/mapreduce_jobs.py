@@ -62,18 +62,19 @@ def mr_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed grep: mapper emits the record iff it matches; no
-    reduce work (identity) — the map-only job shape."""
+    """Distributed grep, run as a MAP-ONLY job (``reducer=None`` —
+    Hadoop's ``numReduceTasks=0``): the mapper emits matching records
+    and that IS the output.  The previous identity reduce cost a full
+    shuffle plus one applyInPandas group per surviving doc for a no-op;
+    map-only drops the exchange entirely, so at 100 TB the job is a
+    pure parallel scan."""
     pat = re.compile(r"fast (scan|merge|sort)")
 
     def mapper(doc_id: str, text: str):
         if pat.search(text):
             yield doc_id, text
 
-    def identity(_k: str, values: list[str]):
-        yield from values
-
-    return map_reduce(_docs_kv(spark, sf_dir), mapper, identity)
+    return map_reduce(_docs_kv(spark, sf_dir), mapper, reducer=None)
 
 
 @register(

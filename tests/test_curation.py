@@ -1,0 +1,163 @@
+"""Property and planted-fixture tests for the curation operators
+(corpus_mix_weighted, text_boilerplate_ngrams, dedup_resolve_best,
+sim_eval_recall) beyond their DuckDB oracle parity."""
+
+from __future__ import annotations
+
+from task_mapreduce_spark.registry import QUERIES
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_weighted
+# ---------------------------------------------------------------------------
+
+
+def test_mix_scarcest_stratum_keeps_everything(spark, sf_dir):
+    # the acceptance rate of the argmin(n/w) stratum is exactly 1 by
+    # construction (h < 2^48 always), so at least one language must
+    # keep its whole population; no language may exceed it
+    rows = QUERIES["corpus_mix_weighted"](spark, sf_dir).collect()
+    assert any(r["n_kept"] == r["n_docs"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    assert sum(r["target_ppm"] for r in rows) == 1_000_000
+
+
+def test_mix_rates_follow_weights_on_planted_counts(spark, tmp_path):
+    # 40 'de' docs (weight 1) vs 10 'en' docs (weight 4): en is the
+    # scarcest stratum (10/4 < 40/1), so en keeps all 10 and de thins
+    # to rate w_de*n_en/(w_en*n_de) = 1/16 — far below full retention
+    rows = [(i, f"d {i} x y", "de", "s", 10) for i in range(40)]
+    rows += [(100 + i, f"e {i} x y", "en", "s", 10) for i in range(10)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["lang"]: r for r in QUERIES["corpus_mix_weighted"](spark, sf).collect()}
+    assert out["en"]["n_kept"] == out["en"]["n_docs"] == 10
+    assert out["de"]["n_docs"] == 40
+    assert out["de"]["n_kept"] < 40  # rate 1/16 cannot keep the lot
+    # deterministic: a second run selects the identical sets
+    out2 = {r["lang"]: r["n_kept"]
+            for r in QUERIES["corpus_mix_weighted"](spark, sf).collect()}
+    assert out2 == {k: v["n_kept"] for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_planted_span_flagged(spark, tmp_path):
+    # one 4-token span planted into 3 docs (df = 3 >= threshold), each
+    # doc padded with its own unique tail; a fourth doc shares nothing
+    # NOTE the tail tokens must differ in (length, first char) across
+    # docs — the repo's portable token code is length*131 + ascii(first
+    # char), so "u0a"/"u1a" would collide and the tails would count as
+    # shared windows too
+    span = "this licensed content is"
+    rows = [
+        (
+            i,
+            f"{span} {c}1 {c}22 {c}333 {c}4444",
+            "en",
+            "s",
+            0,
+        )
+        for i, c in enumerate("abc")
+    ]
+    rows.append((9, "totally different words here entirely now yes ok", "en", "s", 0))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           QUERIES["text_boilerplate_ngrams"](spark, sf).collect()}
+    assert len(out) == 4
+    for i in range(3):
+        # exactly the one shared window is boilerplate; the padded
+        # tail windows are unique per doc
+        assert out[i]["n_boiler"] == 1
+        assert 0 < out[i]["boiler_frac"] <= 1
+    assert out[9]["n_boiler"] == 0
+    assert out[9]["boiler_frac"] == 0.0
+
+
+def test_boilerplate_counts_are_bounded(spark, sf_dir):
+    for r in QUERIES["text_boilerplate_ngrams"](spark, sf_dir).collect():
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_resolve_best
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_best_keeps_longest_member(spark, tmp_path):
+    # the CC chain fixture (adjacent sliding windows are near-dups,
+    # ends are not) with controlled n_chars: the middle doc is the
+    # longest, so it must survive even though it is neither the
+    # cluster root nor first-seen
+    win = lambda k: " ".join(f"tok{i}" for i in range(k, k + 20))
+    other = "stream window customer order group data column filter query big"
+    rows = [
+        (1, win(0), "en", "s", 100),
+        (2, win(1), "en", "s", 300),
+        (3, win(2), "en", "s", 200),
+        (9, other, "en", "s", 999),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["dedup_resolve_best"](spark, sf).collect()
+    assert len(out) == 1  # doc 9 is a singleton: no resolution row
+    r = out[0]
+    assert r["component_id"] == 1
+    assert r["keep_id"] == 2
+    assert r["n_members"] == 3
+    assert r["n_chars_kept"] == 300
+
+
+def test_resolve_best_ties_break_on_doc_id(spark, tmp_path):
+    text = " ".join(f"w{i}" for i in range(20))
+    rows = [(11, text, "en", "s", 50), (12, text, "en", "s", 50)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["dedup_resolve_best"](spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 11  # equal length -> smaller doc_id
+
+
+def test_resolve_best_consistent_with_clusters(spark, sf_dir):
+    cc = {r["doc_id"]: r["component_id"]
+          for r in QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()}
+    from collections import Counter
+
+    sizes = Counter(cc.values())
+    out = QUERIES["dedup_resolve_best"](spark, sf_dir).collect()
+    assert {r["component_id"] for r in out} == {
+        c for c, n in sizes.items() if n >= 2
+    }
+    for r in out:
+        assert cc[r["keep_id"]] == r["component_id"]
+        assert r["n_members"] == sizes[r["component_id"]]
+
+
+# ---------------------------------------------------------------------------
+# sim_eval_recall
+# ---------------------------------------------------------------------------
+
+
+def test_recall_matches_arm_intersection(spark, sf_dir):
+    exact = QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    ann = QUERIES["sim_search_ann"](spark, sf_dir).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    an = {(r["query_id"], r["vec_id"]) for r in ann}
+    out = QUERIES["sim_eval_recall"](spark, sf_dir).collect()
+    assert {r["query_id"] for r in out} == {q for q, _ in ex}
+    for r in out:
+        hits = len({p for p in ex & an if p[0] == r["query_id"]})
+        n_ex = len({p for p in ex if p[0] == r["query_id"]})
+        assert r["n_exact"] == n_ex
+        assert r["n_hit"] == hits
+        assert 0.0 <= r["recall_at_k"] <= 1.0

@@ -51,3 +51,24 @@ def test_output_deterministic_across_runs(spark):
     a = _result_set(map_reduce(records, mapper, join_sorted))
     b = _result_set(map_reduce(records, mapper, join_sorted))
     assert a == b
+
+
+def test_map_only_equals_identity_reduce(spark):
+    # reducer=None (Hadoop numReduceTasks=0) must produce exactly what
+    # an explicit identity reduce produces — minus the shuffle
+    records = spark.createDataFrame(
+        [(str(i), f"text {i}") for i in range(50)],
+        "k STRING, v STRING",
+    )
+
+    def mapper(k, text):
+        if int(k) % 2 == 0:
+            yield k, text.upper()
+
+    def identity(_k, values):
+        yield from values
+
+    map_only = _result_set(map_reduce(records, mapper, reducer=None))
+    reduced = _result_set(map_reduce(records, mapper, identity))
+    assert map_only == reduced
+    assert len(map_only) == 25

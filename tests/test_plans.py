@@ -157,6 +157,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "tpch_q15",             # 1-row MAX(total_revenue) scalar-subquery crossJoin
         "tpch_q22",             # 1-row global-avg-balance scalar-subquery crossJoin
         "basket_pairs",         # 1-row order-total crossJoin (lift denominator)
+        "corpus_mix_weighted",  # 1-row argmin-stratum crossJoin (mix reference)
+        "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -394,6 +396,14 @@ def test_sample_balanced_group_limit(spark, sf_dir):
     # the per-stratum cap must drop rows past N before the sort
     plan = plan_of(spark, sf_dir, "sample_balanced")
     assert "WindowGroupLimit" in plan
+
+
+def test_mr_grep_is_map_only_no_shuffle(spark, sf_dir):
+    # reducer=None (numReduceTasks=0): a grep job is a pure parallel
+    # scan — any Exchange in this plan is a regression back to the
+    # identity-reduce shuffle
+    plan = plan_of(spark, sf_dir, "mr_grep", mode="simple")
+    assert "Exchange" not in plan
 
 
 def test_basket_pairs_lift_joins_unhinted_but_aqe_broadcast(spark, sf_dir):
