@@ -215,19 +215,22 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at(F.col("cs"), i + 3),
         )
     )
-    flat = c.select(
-        "doc_id",
-        F.size(win_hashes).cast("bigint").alias("n_shingles"),
-        F.explode_outer(win_hashes).alias("h"),
-    )
+    # NO size(win_hashes) column here: projecting the array's size
+    # beside its explode lets Catalyst hoist the size() ABOVE the
+    # Generate, recomputing the whole shingle transform once per
+    # exploded row — O(L²) per doc (measured 5.8 s → 1.3 s at sf0.1).
+    # The shingle list is distinct in-row, so per-doc COUNT(*) after
+    # the inner join IS n_shingles — no second array evaluation at all.
+    flat = c.select("doc_id", F.explode_outer(win_hashes).alias("h"))
     dfreq = flat.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
         flat.join(dfreq, "h")
-        .groupBy("doc_id", "n_shingles")
+        .groupBy("doc_id")
         .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
             F.count(F.when(F.col("df") >= _BOILER_DF, F.lit(1)))
             .cast("bigint")
-            .alias("n_boiler")
+            .alias("n_boiler"),
         )
         .select(
             "doc_id",
