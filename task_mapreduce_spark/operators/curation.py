@@ -102,10 +102,15 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(_MIX_WEIGHTS.items()) for x in kv]
     )
+    # strata without a configured weight are excluded OUTRIGHT (the
+    # oracle's inner join on the weight table does the same) — a null
+    # weight must never survive into the threshold arithmetic, where it
+    # would silently drop docs on one engine and rows on the other
     counts = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("w", wmap[F.col("lang")].cast("long"))
+        .filter(F.col("w").isNotNull())
     )
     # scarcest stratum pins the global volume: argmin (n/w, lang) — the
     # ratio is ONE IEEE division, identical in both engines, and lang

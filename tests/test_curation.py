@@ -48,6 +48,18 @@ def test_mix_rates_follow_weights_on_planted_counts(spark, tmp_path):
     assert out2 == {k: v["n_kept"] for k, v in out.items()}
 
 
+def test_mix_unweighted_stratum_is_excluded(spark, tmp_path):
+    # a language with no configured weight must vanish from the output
+    # entirely (matching the oracle's inner join on the weight table),
+    # never surface as a null-ppm row or bleed into the volume pin
+    rows = [(i, f"d {i} x y", "de", "s", 10) for i in range(5)]
+    rows += [(50 + i, f"q {i} x y", "xx", "s", 10) for i in range(5)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["lang"]: r for r in QUERIES["corpus_mix_weighted"](spark, sf).collect()}
+    assert set(out) == {"de"}
+    assert out["de"]["n_kept"] == out["de"]["n_docs"] == 5
+
+
 # ---------------------------------------------------------------------------
 # text_boilerplate_ngrams
 # ---------------------------------------------------------------------------
