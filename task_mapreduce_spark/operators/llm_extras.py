@@ -1026,6 +1026,99 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_batches, _DECODE_SCHEMA)
 
 
+# resize stub: target max side 32, aspect preserved, never upscale —
+# integer-exact output dims in both engines (floor division)
+_RESIZE_MAX_SIDE = 32
+_RESIZE_SCHEMA = (
+    "doc_id BIGINT, src_w BIGINT, src_h BIGINT, "
+    "out_w BIGINT, out_h BIGINT, checksum BIGINT"
+)
+
+
+@register(
+    "multimodal_resize",
+    # same deterministic-stub discipline as multimodal_decode: source
+    # dims derive from payload bytes, the resize is pure integer
+    # arithmetic (aspect-preserving floor division, no upscale), and
+    # the "resized pixel" checksum is deterministic byte math — so the
+    # whole Arrow path is value-checked, not rows-counted
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS BIGINT) AS src_w,
+             CAST(ascii(substring(text, 2, 1)) % 64 + 1 AS BIGINT) AS src_h,
+             CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS b0
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             CASE WHEN greatest(src_w, src_h) <= {_RESIZE_MAX_SIDE} THEN src_w
+                  ELSE greatest(1, src_w * {_RESIZE_MAX_SIDE}
+                                   // greatest(src_w, src_h)) END AS out_w,
+             CASE WHEN greatest(src_w, src_h) <= {_RESIZE_MAX_SIDE} THEN src_h
+                  ELSE greatest(1, src_h * {_RESIZE_MAX_SIDE}
+                                   // greatest(src_w, src_h)) END AS out_h
+      FROM f
+    )
+    SELECT doc_id, src_w, src_h, out_w, out_h,
+           CAST((n_bytes * out_w * out_h + b0) % 997 AS BIGINT) AS checksum
+    FROM r
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over opaque binary payloads — with decode,
+    feature-extract (multimodal_decode) and frame-sample
+    (multimodal_frames), this completes the multimodal preprocessing
+    set: Arrow-batched ``mapInPandas``, partition-parallel, no shuffle,
+    1 row in → 1 row out.
+
+    The pixel work is STUBBED (no image libs in this environment): the
+    source dims derive from payload bytes exactly as in
+    multimodal_decode, the resize itself is REAL integer geometry —
+    aspect-preserving scale to a 32-px max side, floor division, never
+    upscaling — and the output checksum is deterministic byte math
+    standing in for the resampled pixel hash.  A real implementation
+    replaces the stub block with PIL's ``Image.resize`` per payload;
+    the Spark-side contract (schema, batch shape, closure pickling) is
+    what this key tests and ships."""
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    max_side = _RESIZE_MAX_SIDE
+
+    def resize_batches(batches):
+        # closure → cloudpickle ships it by value (executors can't
+        # import this module); same unconditional-stub discipline as
+        # multimodal_decode — never probe for importable image libs
+        for pdf in batches:
+            payload = pdf["payload"]
+            n_bytes = payload.str.len().astype("int64")
+            b0 = payload.str[0].fillna(0).astype("int64")
+            b1 = payload.str[1].fillna(0).astype("int64")
+            src_w = b0 % 64 + 1
+            src_h = b1 % 64 + 1
+            mx = np.maximum(src_w, src_h)
+            small = mx <= max_side
+            out_w = np.where(
+                small, src_w, np.maximum(1, (src_w * max_side) // mx)
+            ).astype("int64")
+            out_h = np.where(
+                small, src_h, np.maximum(1, (src_h * max_side) // mx)
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": src_w,
+                    "src_h": src_h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "checksum": (n_bytes * out_w * out_h + b0) % 997,
+                }
+            )
+
+    return payloads.mapInPandas(resize_batches, _RESIZE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Decontamination: train/eval n-gram overlap screen
 # ---------------------------------------------------------------------------

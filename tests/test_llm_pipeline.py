@@ -231,6 +231,23 @@ def test_multimodal_frames_stub(spark, sf_dir):
         assert len(frames) == (duration + 1) // 2
 
 
+def test_multimodal_resize_geometry(spark, sf_dir):
+    out = QUERIES["multimodal_resize"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # never upscale; aspect preserved under floor division
+        assert 1 <= r["out_w"] <= max(r["src_w"], 32)
+        assert 1 <= r["out_h"] <= max(r["src_h"], 32)
+        mx = max(r["src_w"], r["src_h"])
+        if mx <= 32:
+            assert (r["out_w"], r["out_h"]) == (r["src_w"], r["src_h"])
+        else:
+            assert max(r["out_w"], r["out_h"]) == 32
+            assert r["out_w"] == max(1, r["src_w"] * 32 // mx)
+            assert r["out_h"] == max(1, r["src_h"] * 32 // mx)
+        assert 0 <= r["checksum"] < 997
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     exact = {
         (r["query_id"], r["vec_id"])

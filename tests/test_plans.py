@@ -122,7 +122,7 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
     # JVM-side: no Python evals anywhere in the plan
     py_keys = {"udf_scalar_pandas", "udaf_grouped_agg", "udtf_flatmap",
                "stream_stateful", "multimodal_decode", "multimodal_frames",
-               "stream_source",
+               "multimodal_resize", "stream_source",
                "mr_word_count", "mr_grep", "mr_inverted_index"}
     for key in sorted(set(QUERIES) - py_keys):
         plan = plan_of(spark, sf_dir, key, mode="simple")
