@@ -28,7 +28,13 @@ def _norm(v) -> str:
     import decimal
 
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ")
+        v = v.replace(tzinfo=None)
+        # midnight timestamps canonicalize to the bare date so a
+        # DATE-returning engine (DuckDB 1.0 date_trunc) and a
+        # midnight-TIMESTAMP-returning one compare equal
+        if v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (float, decimal.Decimal)):

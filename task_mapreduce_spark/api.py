@@ -56,6 +56,12 @@ def map_reduce(
     grep/filter/transform jobs, where forcing every record through a
     single-row reduce group costs a full exchange for an identity.
     """
+    if reducer is None and combiner is not None:
+        # Hadoop semantics: the combiner belongs to the (absent) reduce
+        # phase — silently running it map-side would emit per-batch
+        # partials whose multiset depends on partition layout,
+        # violating the determinism contract
+        raise ValueError("a map-only job (reducer=None) cannot take a combiner")
     kv = records.select(key_col, value_col)
 
     def run_map(batches):

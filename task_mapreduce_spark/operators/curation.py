@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from task_mapreduce_spark.operators.llm_extras import (
     _DECON_SHINGLES_SQL,
-    _FP_WINDOW,
+    _rk_window_frame,
     dedup_cluster_cc,
     sim_search_ann,
 )
@@ -86,7 +86,7 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep decision is the repo's portable 48-bit md5 hash compared
     against that rate — but the comparison is INTEGER-EXACT, never a
     float threshold: keep iff h·w_ref·n_l < w_l·n_ref·2^48, evaluated
-    in decimal(33,0) on the Spark side and HUGEINT in DuckDB, so both
+    in decimal(34,0) on the Spark side and HUGEINT in DuckDB, so both
     engines keep bit-identical document sets (a double threshold could
     flip a boundary hash).  Like sample_stratified, the decision is a
     pure function of doc_id — reruns and backfills can never churn the
@@ -96,8 +96,9 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmin reference is ONE row (the metadata-row crossJoin
     pattern), and the keep flag is a scan-side narrow map — the corpus
     itself never shuffles; only per-lang partial counts do.  Decimal
-    bounds hold to n_l ≤ 1e12 docs per stratum (decimal(15+4+12+2,0)
-    = 33 ≤ 38 digits, exact)."""
+    bounds hold to n_l ≤ 1e12 docs per stratum (13-digit counts:
+    15+4+1 then +13+1 = 34 ≤ 38 digits, exact — decimal(12,0) would
+    overflow to NULL at exactly the documented bound)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(_MIX_WEIGHTS.items()) for x in kv]
@@ -131,10 +132,10 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (
         F.col("h").cast("decimal(15,0)")
         * F.col("w_ref").cast("decimal(4,0)")
-        * F.col("n_docs").cast("decimal(12,0)")
+        * F.col("n_docs").cast("decimal(13,0)")
     ) < (
         F.col("w").cast("decimal(4,0)")
-        * F.col("n_ref").cast("decimal(12,0)")
+        * F.col("n_ref").cast("decimal(13,0)")
         * F.lit(_HASH_SPACE).cast("decimal(15,0)")
     )
     flags = (
@@ -205,28 +206,15 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the InferFiltersFromGenerate invariant — the inner join on
     ``h`` drops the null rows an empty array would emit."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    codes = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long"))
-    c = d.select("doc_id", codes.alias("cs")).filter(F.size("cs") >= _FP_WINDOW)
-    win_hashes = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("cs") - (_FP_WINDOW - 1)),
-            lambda i: (
-                (F.element_at(F.col("cs"), i) * 131 + F.element_at(F.col("cs"), i + 1))
-                * 131
-                + F.element_at(F.col("cs"), i + 2)
-            )
-            * 131
-            + F.element_at(F.col("cs"), i + 3),
-        )
+    # NO size(hs) column here: projecting the array's size beside its
+    # explode lets Catalyst hoist the size() ABOVE the Generate,
+    # recomputing the whole shingle transform once per exploded row —
+    # O(L²) per doc (measured 5.8 s → 1.3 s at sf0.1).  The shingle
+    # list is distinct in-row, so per-doc COUNT(*) after the inner
+    # join IS n_shingles — no second array evaluation at all.
+    flat = _rk_window_frame(d, distinct=True).select(
+        "doc_id", F.explode_outer("hs").alias("h")
     )
-    # NO size(win_hashes) column here: projecting the array's size
-    # beside its explode lets Catalyst hoist the size() ABOVE the
-    # Generate, recomputing the whole shingle transform once per
-    # exploded row — O(L²) per doc (measured 5.8 s → 1.3 s at sf0.1).
-    # The shingle list is distinct in-row, so per-doc COUNT(*) after
-    # the inner join IS n_shingles — no second array evaluation at all.
-    flat = c.select("doc_id", F.explode_outer(win_hashes).alias("h"))
     dfreq = flat.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
         flat.join(dfreq, "h")

@@ -892,6 +892,37 @@ _FP_WINDOW = 4
 _FP_MOD = 1_000_000_007
 
 
+def _rk_window_frame(d: DataFrame, distinct: bool) -> DataFrame:
+    """(doc_id, hs): per-doc Rabin-Karp 4-token window hashes over the
+    engine-portable token codes (length·131 + first-char code) — the
+    ONE Spark-side construction for every shingle consumer
+    (text_fingerprint, decontaminate_ngrams, text_boilerplate_ngrams),
+    mirroring how `_DECON_SHINGLES_SQL` is shared on the oracle side.
+    The polynomial constants must stay bit-identical across all
+    consumers or the shared SQL twin silently stops value-checking
+    them.  ``distinct`` in-row dedupes the windows (document-frequency
+    semantics); without it the array is size-preserving (the safe
+    explode case of the InferFiltersFromGenerate invariant)."""
+    toks = F.split("text", " ")
+    # codes cast to long up front: the window polynomial reaches ~1e10,
+    # past int32 (ANSI mode would raise ARITHMETIC_OVERFLOW)
+    codes = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long"))
+    c = d.select("doc_id", codes.alias("cs")).filter(F.size("cs") >= _FP_WINDOW)
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("cs") - (_FP_WINDOW - 1)),
+        lambda i: (
+            (F.element_at(F.col("cs"), i) * 131 + F.element_at(F.col("cs"), i + 1))
+            * 131
+            + F.element_at(F.col("cs"), i + 2)
+        )
+        * 131
+        + F.element_at(F.col("cs"), i + 3),
+    )
+    if distinct:
+        win_hashes = F.array_distinct(win_hashes)
+    return c.select("doc_id", win_hashes.alias("hs"))
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
@@ -931,22 +962,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an order-independent modular sum).  Narrow projection + one
     tiny agg; integer arithmetic stays < 2^53, exact in both engines."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # codes cast to long up front: the window polynomial reaches ~1e10,
-    # past int32 (ANSI mode would raise ARITHMETIC_OVERFLOW)
-    codes = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long"))
-    c = d.select("doc_id", codes.alias("cs")).filter(F.size("cs") >= _FP_WINDOW)
-    win_hashes = F.transform(
-        F.sequence(F.lit(1), F.size("cs") - (_FP_WINDOW - 1)),
-        lambda i: (
-            (F.element_at(F.col("cs"), i) * 131 + F.element_at(F.col("cs"), i + 1))
-            * 131
-            + F.element_at(F.col("cs"), i + 2)
-        )
-        * 131
-        + F.element_at(F.col("cs"), i + 3),
+    # non-distinct windows: every occurrence counts toward the modular
+    # sum; the array is size-preserving, so plain explode is safe
+    h = _rk_window_frame(d, distinct=False).select(
+        "doc_id", F.explode("hs").alias("h")
     )
-    h = c.select("doc_id", F.explode(win_hashes).alias("h"))
     return h.groupBy("doc_id").agg(
         F.min("h").cast("bigint").alias("fp_min"),
         (F.sum("h") % _FP_MOD).cast("bigint").alias("fp_sum"),
@@ -1175,22 +1195,7 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no shuffle of the corpus.  Overlap counting is a hash-agg on
     (train_doc, eval_doc)."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    codes = F.transform(toks, lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long"))
-    c = d.select("doc_id", codes.alias("cs")).filter(F.size("cs") >= _FP_WINDOW)
-    win_hashes = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("cs") - (_FP_WINDOW - 1)),
-            lambda i: (
-                (F.element_at(F.col("cs"), i) * 131 + F.element_at(F.col("cs"), i + 1))
-                * 131
-                + F.element_at(F.col("cs"), i + 2)
-            )
-            * 131
-            + F.element_at(F.col("cs"), i + 3),
-        )
-    )
-    sh = c.select("doc_id", win_hashes.alias("hs"))
+    sh = _rk_window_frame(d, distinct=True)
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     ev = sh.filter(is_eval)
     # explode_outer, not explode: plain explode makes Catalyst infer
