@@ -962,10 +962,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an order-independent modular sum).  Narrow projection + one
     tiny agg; integer arithmetic stays < 2^53, exact in both engines."""
     d = load(spark, sf_dir, "documents")
-    # non-distinct windows: every occurrence counts toward the modular
-    # sum; the array is size-preserving, so plain explode is safe
+    # explode_outer, NOT explode: exploding the aliased hs column makes
+    # InferFiltersFromGenerate add `size(hs)>0 AND isnotnull(hs)` and
+    # push it below BOTH projections with `cs` inlined — every
+    # element_at then recomputes the whole token transform (quadratic
+    # per doc; 0.5 s → 11 s at sf0.1 when this briefly regressed).
+    # The helper's size(cs) >= 4 filter guarantees ≥ 1 window, so
+    # explode_outer can never emit the null row and is semantically
+    # identical.
     h = _rk_window_frame(d, distinct=False).select(
-        "doc_id", F.explode("hs").alias("h")
+        "doc_id", F.explode_outer("hs").alias("h")
     )
     return h.groupBy("doc_id").agg(
         F.min("h").cast("bigint").alias("fp_min"),

@@ -398,6 +398,28 @@ def test_sample_balanced_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_boilerplate_never_recomputes_shingles_per_row(spark, sf_dir):
+    # regression pin for the size-beside-explode hoist: projecting
+    # size(win_hashes) next to explode(win_hashes) makes Catalyst
+    # re-evaluate the whole shingle transform once per exploded row
+    # (O(L²) per doc; 5.8 s → 1.2 s at sf0.1).  The fixed plan derives
+    # n_shingles from COUNT(*), so no size(array_distinct(...)) may
+    # appear anywhere
+    plan = plan_of(spark, sf_dir, "text_boilerplate_ngrams")
+    assert "size(array_distinct" not in plan
+
+
+def test_fingerprint_never_inlines_token_transform_in_a_filter(spark, sf_dir):
+    # regression pin for the InferFiltersFromGenerate re-trigger: an
+    # inferred size(hs)>0 filter pushed below the projections inlines
+    # the token transform into every element_at (0.5 s → 11 s).  With
+    # explode_outer no Filter in this plan may contain element_at
+    plan = plan_of(spark, sf_dir, "text_fingerprint", mode="formatted")
+    # the healthy plan computes `cs` once in a Project; the quadratic
+    # one substitutes the token transform into element_at calls
+    assert "element_at(transform(split" not in plan
+
+
 def test_mr_grep_is_map_only_no_shuffle(spark, sf_dir):
     # reducer=None (numReduceTasks=0): a grep job is a pure parallel
     # scan — any Exchange in this plan is a regression back to the
