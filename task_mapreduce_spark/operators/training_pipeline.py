@@ -1016,3 +1016,180 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(wf).cast("double"), 9
         ).alias("p_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session concurrency via distributed order statistics (no pair join)
+# ---------------------------------------------------------------------------
+
+_CONC_BUCKETS = 32  # at 100 TB: raise so each bucket fits an executor core
+
+
+def _conc_oracle() -> str:
+    """DuckDB twin of sessions_concurrency, built on the REGISTERED
+    sessionize oracle so the two keys can never disagree on session
+    boundaries.  The oracle mirrors the exact sweep construction —
+    global running SUM(is_pt) with the same tie ordering — instead of
+    correlated COUNT subqueries, so tie semantics are value-checked,
+    not just the totals."""
+    from task_mapreduce_spark.registry import ORACLES
+
+    sz = ORACLES["sessionize_events"]
+    return f"""
+    WITH sz AS (SELECT * FROM ({sz})),
+    s AS (
+      SELECT user_id, session_seq, start_us,
+             start_us + duration_us AS end_us
+      FROM sz
+    ),
+    ua AS (
+      SELECT start_us AS t, 1 AS is_pt, user_id, session_seq FROM s
+      UNION ALL
+      SELECT end_us AS t, 0 AS is_pt, user_id, session_seq FROM s
+    ),
+    ra AS (
+      SELECT user_id, session_seq, is_pt,
+             SUM(is_pt) OVER (ORDER BY t, is_pt DESC, user_id, session_seq
+                              ROWS UNBOUNDED PRECEDING) AS cnt
+      FROM ua
+    ),
+    sle AS (SELECT user_id, session_seq, cnt AS s_le FROM ra WHERE is_pt = 0),
+    ub AS (
+      SELECT end_us AS t, 1 AS is_pt, user_id, session_seq FROM s
+      UNION ALL
+      SELECT start_us AS t, 0 AS is_pt, user_id, session_seq FROM s
+    ),
+    rb AS (
+      SELECT user_id, session_seq, is_pt,
+             SUM(is_pt) OVER (ORDER BY t, is_pt ASC, user_id, session_seq
+                              ROWS UNBOUNDED PRECEDING) AS cnt
+      FROM ub
+    ),
+    elt AS (SELECT user_id, session_seq, cnt AS e_lt FROM rb WHERE is_pt = 0)
+    SELECT s.user_id, s.session_seq,
+           CAST(sle.s_le - elt.e_lt - 1 AS BIGINT) AS n_concurrent
+    FROM s
+    JOIN sle USING (user_id, session_seq)
+    JOIN elt USING (user_id, session_seq)
+    """
+
+
+def _rank_queries(
+    u: DataFrame, pts_first_on_ties: bool, bounds: list
+) -> DataFrame:
+    """For a union frame ``u`` of point rows (is_pt=1) and query rows
+    (is_pt=0), return per query (user_id, session_seq) the COUNT of
+    points ordered before it — the distributed order-statistic kernel.
+
+    sort_global's two-pass layout, generalized: equi-depth bucket ids
+    from collected approx_percentile literals (a pure function of t —
+    the counting pass and the window pass can never disagree), a ≤33-row
+    metadata collect for the per-bucket point counts, then a per-bucket
+    running sum + broadcast cumulative offset.  No bucket ever sees
+    more than ~|u|/n_buckets rows, and NO pairwise join exists anywhere.
+    ``pts_first_on_ties`` selects inclusive (points before queries at
+    equal t → count ≤ t) vs strict (queries first → count < t)
+    semantics; (user_id, session_seq) completes a unique order key so
+    the sweep is deterministic under any partitioning."""
+    from task_mapreduce_spark.operators.relational import _pid_from_literal_bounds
+
+    pid = _pid_from_literal_bounds("t", bounds)
+    cnts = {
+        int(r["pid"]): r["cnt"]
+        for r in u.filter(F.col("is_pt") == 1)
+        .withColumn("pid", pid)
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # ≤ n_buckets+1 metadata rows (sort_global discipline)
+    }
+    offsets, acc = [], 0
+    for p in range(1, len(sorted(set(bounds))) + 2):
+        offsets.append((p, acc))
+        acc += cnts.get(p, 0)
+    off_df = u.sparkSession.createDataFrame(offsets, "pid BIGINT, off BIGINT")
+    tie = F.desc("is_pt") if pts_first_on_ties else F.asc("is_pt")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("t", tie, "user_id", "session_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("pid", pid)
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("cnt", (F.sum("is_pt").over(w) + F.col("off")).cast("long"))
+        .filter(F.col("is_pt") == 0)
+        .select("user_id", "session_seq", "cnt")
+    )
+
+
+@register("sessions_concurrency", oracle=_conc_oracle())
+def sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session concurrency: for every session, how many OTHER
+    sessions' [start, end] intervals overlap it — the load/capacity
+    signal behind peak-concurrency dashboards, contention analysis and
+    autoscaling triggers.
+
+    The naive formulation is an interval self-join (quadratic in any
+    busy time window; a bin-blocked equi-join still pays pair work ∝
+    per-bin population²).  This operator instead uses ORDER STATISTICS:
+    overlap(a) = #{start_b ≤ end_a} − #{end_b < start_a} − 1, two global
+    rank lookups computed by a distributed sweep — union the boundary
+    points with the query points, bucket by collected equi-depth
+    percentile literals (sort_global's two-pass discipline), running-sum
+    within buckets + broadcast cumulative offsets.  Total cost is
+    O(n log n) with NO pairwise join at all; pair-count blowup is
+    structurally impossible, which is the 100 TB story (the sweep's
+    per-bucket sort is the only super-linear term, bounded by
+    |sessions|/n_buckets per task).  Tie semantics (inclusive ≤ on
+    starts, strict < on ends) are carried by the sweep order and
+    value-checked by an oracle that mirrors the SAME sweep, not a
+    rewritten COUNT formula.  Sessions come from the registered
+    sessionize_events operator; `localCheckpoint` materializes them
+    once for the four sweep consumers."""
+    sess = sessionize_events(spark, sf_dir)
+    s = sess.select(
+        "user_id",
+        "session_seq",
+        "start_us",
+        (F.col("start_us") + F.col("duration_us")).alias("end_us"),
+    ).localCheckpoint()
+    # both sweeps rank over the SAME t multiset (starts ∪ ends — only
+    # the point/query roles swap), so ONE percentile job seeds the
+    # bucket literals for both (collected once, sort_global discipline)
+    qs = [i / _CONC_BUCKETS for i in range(1, _CONC_BUCKETS)]
+    bounds = (
+        s.select(F.col("start_us").alias("t"))
+        .unionByName(s.select(F.col("end_us").alias("t")))
+        .agg(F.percentile_approx("t", qs, 10000))
+        .first()[0]
+        or []
+    )
+
+    def side(col: str, is_pt: int) -> DataFrame:
+        return s.select(
+            F.col(col).alias("t"),
+            F.lit(is_pt).alias("is_pt"),
+            "user_id",
+            "session_seq",
+        )
+
+    s_le = _rank_queries(
+        side("start_us", 1).unionByName(side("end_us", 0)),
+        pts_first_on_ties=True,
+        bounds=bounds,
+    ).withColumnRenamed("cnt", "s_le")
+    e_lt = _rank_queries(
+        side("end_us", 1).unionByName(side("start_us", 0)),
+        pts_first_on_ties=False,
+        bounds=bounds,
+    ).withColumnRenamed("cnt", "e_lt")
+    return (
+        s_le.join(e_lt, ["user_id", "session_seq"])
+        .select(
+            "user_id",
+            "session_seq",
+            (F.col("s_le") - F.col("e_lt") - 1).cast("bigint").alias(
+                "n_concurrent"
+            ),
+        )
+    )
