@@ -39,7 +39,13 @@ def _norm(v) -> str:
         return v.isoformat()
     if isinstance(v, (float, decimal.Decimal)):
         s = f"{v:.9f}".rstrip("0").rstrip(".")
-        return "0" if s in ("-0", "") else s
+        if s in ("-0", ""):
+            s = "0"
+        # keep fractional types visibly fractional ("5.0", not "5"):
+        # an engine returning BIGINT where the other returns DOUBLE is
+        # a real mismatch (the CLAUDE.md cast-to-BIGINT rule) that a
+        # fully integer-collapsed rendering would silently absorb
+        return s if "." in s else s + ".0"
     return str(v)
 
 

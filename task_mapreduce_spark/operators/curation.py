@@ -92,10 +92,12 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of doc_id — reruns and backfills can never churn the
     mix.
 
-    100 TB shape: the per-lang count table is |langs| rows (broadcast),
-    the argmin reference is ONE row (the metadata-row crossJoin
-    pattern), and the keep flag is a scan-side narrow map — the corpus
-    itself never shuffles; only per-lang partial counts do.  Decimal
+    100 TB shape: the per-lang count table is |langs| rows, COLLECTED
+    once as metadata (the sort_global literal discipline — ≤ |langs|
+    rows, never data) with the argmin reference derived driver-side
+    and inlined as literals; the keep flag is then a scan-side narrow
+    map against the broadcast count table — ONE corpus scan for the
+    counts, one for the flags, no crossJoin at all.  Decimal
     bounds hold to n_l ≤ 1e12 docs per stratum (13-digit counts:
     15+4+1 then +13+1 = 34 ≤ 38 digits, exact — decimal(12,0) would
     overflow to NULL at exactly the documented bound)."""
@@ -103,45 +105,44 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(_MIX_WEIGHTS.items()) for x in kv]
     )
-    # strata without a configured weight are excluded OUTRIGHT (the
+    # metadata job (sort_global discipline): collect the ≤|langs|-row
+    # count table ONCE and derive the argmin reference driver-side —
+    # re-deriving counts/ref as dataframe branches made the optimizer
+    # scan the corpus ~3× in one job (caught by an executed-plan read).
+    # Strata without a configured weight are excluded OUTRIGHT (the
     # oracle's inner join on the weight table does the same) — a null
-    # weight must never survive into the threshold arithmetic, where it
-    # would silently drop docs on one engine and rows on the other
-    counts = (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("w", wmap[F.col("lang")].cast("long"))
-        .filter(F.col("w").isNotNull())
+    # weight must never reach the threshold arithmetic.
+    stat = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    weighted = sorted(
+        (r["lang"], int(r["n_docs"]), _MIX_WEIGHTS[r["lang"]])
+        for r in stat
+        if r["lang"] in _MIX_WEIGHTS
     )
-    # scarcest stratum pins the global volume: argmin (n/w, lang) — the
-    # ratio is ONE IEEE division, identical in both engines, and lang
-    # breaks ties deterministically
-    ref = counts.agg(
-        F.min(
-            F.struct(
-                (F.col("n_docs").cast("double") / F.col("w")).alias("ratio"),
-                F.col("lang").alias("lang"),
-                F.col("n_docs").alias("n_ref"),
-                F.col("w").alias("w_ref"),
-            )
-        ).alias("m")
-    ).select(F.col("m.n_ref").alias("n_ref"), F.col("m.w_ref").alias("w_ref"))
+    if weighted:
+        # argmin (n/w, lang): ONE IEEE division per stratum — the same
+        # correctly-rounded double both engines compute, so the pick
+        # can never diverge from the oracle's ORDER BY n/w, lang
+        _, n_ref, w_ref = min(weighted, key=lambda t: (t[1] / t[2], t[0]))
+    else:
+        n_ref, w_ref = 0, 1  # no weighted stratum: keep nothing
+    counts = spark.createDataFrame(
+        weighted or [("", 0, 1)], "lang STRING, n_docs BIGINT, w BIGINT"
+    )
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
         "long"
     )
     keep = (
         F.col("h").cast("decimal(15,0)")
-        * F.col("w_ref").cast("decimal(4,0)")
+        * F.lit(w_ref).cast("decimal(4,0)")
         * F.col("n_docs").cast("decimal(13,0)")
     ) < (
         F.col("w").cast("decimal(4,0)")
-        * F.col("n_ref").cast("decimal(13,0)")
+        * F.lit(n_ref).cast("decimal(13,0)")
         * F.lit(_HASH_SPACE).cast("decimal(15,0)")
     )
     flags = (
         docs.withColumn("h", h)
         .join(F.broadcast(counts), "lang")
-        .crossJoin(F.broadcast(ref))
         .select("lang", keep.alias("keep"))
     )
     per = flags.groupBy("lang").agg(
@@ -212,9 +213,13 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(L²) per doc (measured 5.8 s → 1.3 s at sf0.1).  The shingle
     # list is distinct in-row, so per-doc COUNT(*) after the inner
     # join IS n_shingles — no second array evaluation at all.
-    flat = _rk_window_frame(d, distinct=True).select(
-        "doc_id", F.explode_outer("hs").alias("h")
-    )
+    # localCheckpoint: the shingle frame feeds BOTH the df aggregate
+    # and the flag-join probe side — without it the CPU-heavy token
+    # transform runs twice (the minhash multi-consumer discipline);
+    # checkpointing BEFORE the explode keeps the materialization at
+    # packed-array size, and each consumer's re-explode is cheap
+    sh = _rk_window_frame(d, distinct=True).localCheckpoint()
+    flat = sh.select("doc_id", F.explode_outer("hs").alias("h"))
     dfreq = flat.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
         flat.join(dfreq, "h")

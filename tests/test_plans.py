@@ -157,7 +157,6 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "tpch_q15",             # 1-row MAX(total_revenue) scalar-subquery crossJoin
         "tpch_q22",             # 1-row global-avg-balance scalar-subquery crossJoin
         "basket_pairs",         # 1-row order-total crossJoin (lift denominator)
-        "corpus_mix_weighted",  # 1-row argmin-stratum crossJoin (mix reference)
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
