@@ -1193,3 +1193,86 @@ def sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE / CEP idiom)
+# ---------------------------------------------------------------------------
+
+# conversion with no intervening error: view ... click ... purchase,
+# with 'e' (error) forbidden between the stages.  Single-char codes =
+# each type's first letter (distinct across the fixture's domain), so
+# the same regex runs identically under Java regex and DuckDB RE2.
+_PATTERN = "v[^e]*c[^e]*p"
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             event_id,
+             substr(event_type, 1, 1) AS code
+      FROM events
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(code, '' ORDER BY us, event_id) AS seq,
+           regexp_matches(string_agg(code, '' ORDER BY us, event_id),
+                          '{_PATTERN}') AS matched
+    FROM t
+    GROUP BY user_id, day
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-(user, day) event streams —
+    the MATCH_RECOGNIZE / CEP idiom: did the user convert
+    (view → click → purchase) with no error event between the stages?
+    events_funnel answers "how far did users get" with per-stage
+    timestamps; this key answers ORDER-SENSITIVE questions a funnel
+    cannot (the forbidden-symbol constraint between stages).
+
+    Each group's ordered event-type string is built in ONE hash
+    aggregate: collect_list of (us, event_id, code) structs, array_sort
+    (lexicographic on the unique (us, event_id) prefix — deterministic
+    under any partitioning), in-row transform + array_join, then a
+    single regex per group.  No window, no self-join; aggregate state
+    is bounded by per-user-day event count — the same bound any
+    sessionizer carries, and the natural shard key at 100 TB.  The
+    `seq` column is the oracle's value-check certificate (DuckDB
+    rebuilds it with ordered string_agg); at cluster scale the
+    production output is the `matched` bit and seq drops, exactly like
+    the dedup certificates.  Day truncation is cast to DATE on BOTH
+    engines (the CLAUDE.md date_trunc drift trap)."""
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    t = e.select(
+        "user_id",
+        F.to_date(ts).alias("day"),
+        F.unix_micros(ts).alias("us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("code"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("us", "event_id", "code"))),
+            lambda x: x["code"],
+        ),
+        "",
+    )
+    return (
+        t.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            seq.alias("seq"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            "seq",
+            F.col("seq").rlike(_PATTERN).alias("matched"),
+        )
+    )

@@ -249,3 +249,29 @@ def test_concurrency_matches_bruteforce(spark, sf_dir):
         for r in QUERIES["sessions_concurrency"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pattern_match_order_and_forbidden_symbol(spark, tmp_path):
+    # u1: v c p  -> matched; u2: v e c p -> error between stages, NOT
+    # matched; u3: p c v -> right symbols wrong order, NOT matched;
+    # u4: ts tie between view and click broken by event_id (1 < 2) ->
+    # matched
+    rows = [
+        (1, 10, 1, "view"), (2, 20, 1, "click"), (3, 30, 1, "purchase"),
+        (4, 10, 2, "view"), (5, 15, 2, "error"), (6, 20, 2, "click"),
+        (7, 30, 2, "purchase"),
+        (8, 10, 3, "purchase"), (9, 20, 3, "click"), (10, 30, 3, "view"),
+        (11, 10, 4, "view"), (12, 10, 4, "click"), (13, 30, 4, "purchase"),
+    ]
+    data = [
+        (eid, int(t * 1_000_000_000), uid, et, 1.0, "{}")
+        for eid, t, uid, et in rows
+    ]
+    df = spark.createDataFrame(data, _EVENTS_RAW_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["user_id"]: r for r in
+           QUERIES["events_pattern_match"](spark, str(tmp_path)).collect()}
+    assert out[1]["matched"] and out[1]["seq"] == "vcp"
+    assert not out[2]["matched"] and out[2]["seq"] == "vecp"
+    assert not out[3]["matched"] and out[3]["seq"] == "pcv"
+    assert out[4]["matched"] and out[4]["seq"] == "vcp"
