@@ -419,6 +419,32 @@ def test_fingerprint_never_inlines_token_transform_in_a_filter(spark, sf_dir):
     assert "element_at(transform(split" not in plan
 
 
+def test_watermark_running_max_window_is_partitioned(spark, sf_dir):
+    # the running high-water mark must distribute via the bucket
+    # decomposition: the events-sized window partitions by bkt (an
+    # Exchange hashpartitioning(bkt...) feeds it); the only
+    # SinglePartition window allowed is the exclusive prefix max over
+    # the ≤256-row per-bucket maxima AGGREGATE — so every
+    # SinglePartition exchange in this plan must sit above a
+    # HashAggregate, never above the raw scan
+    plan = plan_of(spark, sf_dir, "stream_watermark_late")
+    assert "hashpartitioning(bkt" in plan, plan
+    # formatted mode prints the tree with numbered nodes; walk each
+    # Exchange SinglePartition and check its input is the bucket agg
+    import re
+
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the node it consumes is printed on the following line(s) at
+        # deeper indentation; the bucket-maxima branch shows
+        # HashAggregate directly below
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert "HashAggregate" in below or "Sort" in below, plan
+
+
 def test_mr_grep_is_map_only_no_shuffle(spark, sf_dir):
     # reducer=None (numReduceTasks=0): a grep job is a pure parallel
     # scan — any Exchange in this plan is a regression back to the
