@@ -361,8 +361,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandas`` runs the identical state fold per user over Arrow
     batches — one shuffle on the key, state is O(1) per user.  The
     oracle proves the fold correct via the SQL gaps-and-islands
-    identity.  The true streaming form (transformWithStateInPandas /
-    applyInPandasWithState) is smoke-tested in tests/test_streaming.py."""
+    identity.  The true streaming form runs the IDENTICAL fold through
+    transformWithStateInPandas (fallback applyInPandasWithState where
+    the build lacks it) across ≥2 micro-batches with the carried
+    (cur, best, n) tuple in a ValueState, value-matched to this key in
+    tests/test_streaming.py::
+    test_stream_stateful_transform_with_state_matches_batch."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
 
     def purchase_streaks(pdf: pd.DataFrame) -> pd.DataFrame:

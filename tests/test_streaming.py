@@ -212,6 +212,146 @@ def test_stream_stateful_applyinpandas_with_state(spark, sf_dir):
     assert total == batch_n  # every event counted exactly once across state updates
 
 
+def test_stream_stateful_transform_with_state_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """The true Spark-4 stateful primitive: the SAME purchase-streak
+    fold as the stream_stateful batch key, run through
+    ``transformWithStateInPandas`` across ≥2 micro-batches (time-sliced
+    files, one per trigger, mtime-ordered so arrival respects event
+    time), with the carried (current streak, best streak, n_purchases)
+    tuple in a ValueState.  Falls back to ``applyInPandasWithState``
+    where the build lacks the operator (SURVEY §7c).  The final
+    emission per user must equal the batch key's answer exactly —
+    value parity, not a smoke check."""
+    import glob
+    import shutil
+
+    from task_mapreduce_spark.registry import QUERIES
+
+    ev = _batch_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    us = F.unix_micros("ts")
+    # tertile split by event time -> 3 chronological micro-batches;
+    # literals collected ONCE and reused (approx_percentile is not
+    # reproducible across jobs)
+    b0, b1 = ev.select(
+        F.percentile_approx(us, [1.0 / 3, 2.0 / 3], 10000).alias("b")
+    ).first()["b"]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    slices = [us <= b0, (us > b0) & (us <= b1), us > b1]
+    for i, pred in enumerate(slices):
+        stage = str(tmp_path / f"stage{i}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{landing}/{i:02d}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .groupBy("user_id")
+    )
+    out_schema = "user_id BIGINT, max_purchase_streak BIGINT, n_purchases BIGINT"
+
+    def fold(carry, pdf):
+        # identical state transition to the batch key's closure: longest
+        # consecutive purchase run in (ts, event_id) order, resumed from
+        # the carried (current, best, n_purchases)
+        cur, best, n_p = carry
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for flag in (pdf["event_type"] == "purchase").to_numpy():
+            cur = cur + 1 if flag else 0
+            best = max(best, cur)
+            n_p += int(flag)
+        return cur, best, n_p
+
+    def run_tws():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class StreakProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._st = handle.getValueState(
+                    "streak", "cur LONG, best LONG, n_p LONG"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                carry = self._st.get() if self._st.exists() else (0, 0, 0)
+                cur, best, n_p = fold(carry, pd.concat(list(rows)))
+                self._st.update((cur, best, n_p))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "max_purchase_streak": [best],
+                        "n_purchases": [n_p],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return src.transformWithStateInPandas(
+            StreakProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    def run_aipws():
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def streaks(key, pdfs, state: GroupState):
+            carry = tuple(state.get) if state.exists else (0, 0, 0)
+            cur, best, n_p = fold(carry, pd.concat(list(pdfs)))
+            state.update((cur, best, n_p))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "max_purchase_streak": [best],
+                    "n_purchases": [n_p],
+                }
+            )
+
+        return src.applyInPandasWithState(
+            streaks,
+            outputStructType=out_schema,
+            stateStructType="cur LONG, best LONG, n_p LONG",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    try:
+        name = _run(run_tws(), mode="update")
+    except Exception:
+        # older build without transformWithStateInPandas (or without a
+        # state-store provider supporting it): same fold, v1 API
+        name = _run(run_aipws(), mode="update")
+
+    # update mode re-emits a user whenever its state changes; all three
+    # outputs are monotone, so the final value is the max
+    got = {
+        r["user_id"]: (r["max_purchase_streak"], r["n_purchases"])
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("max_purchase_streak").alias("max_purchase_streak"),
+            F.max("n_purchases").alias("n_purchases"),
+        )
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["max_purchase_streak"], r["n_purchases"])
+        for r in QUERIES["stream_stateful"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_interval_join(spark, sf_dir):
     """The true streaming twin of stream_join: purchases ⋈ clicks on
     user within a time range, BOTH sides watermarked so click state is
