@@ -258,9 +258,11 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         for r in QUERIES["sim_search_ivf"](spark, sf_dir).collect()
     }
     assert ivf, "IVF returned nothing"
-    # nprobe=2 of ~8 cells: expect a solid fraction of the exact top-k
+    # nprobe=2 of ~8 cells: expect a solid fraction of the exact top-k;
+    # floor pins the one-Lloyd-step refinement (0.44 stride-seeded →
+    # 0.48 refined at sf0.001, 0.36 → 0.44 at sf0.01)
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.3, f"recall {recall:.2f}"
+    assert recall >= 0.4, f"recall {recall:.2f}"
     for q, v in ivf:
         assert v != q
     # ranks are 1..k contiguous per query
