@@ -515,6 +515,115 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_MAX_ITER = 20
 
+# Round index from which pointer jumping (label ← label-of-label) joins
+# each propagation round.  Near-dup clusters settle in ≤3 hop-only
+# rounds, so the common case never pays the extra |V| self-join; past
+# that the graph has a long chain somewhere, and jumping doubles label
+# coverage per round — a D-hop chain converges in
+# _CC_PJ_FROM + O(log2 D) rounds instead of D (a 100-hop boilerplate
+# mirror-crawl chain would otherwise blow _CC_MAX_ITER and hard-fail).
+_CC_PJ_FROM = 3
+
+
+def _min_label_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed connected components: min-label propagation in DELTA
+    form with a pointer-jumping fallback, over ``nodes`` (doc_id) and an
+    undirected ``edges`` (a, b) pair list (symmetrized here).
+
+    Each round is one equi-join + one min-agg — the standard
+    distributed CC.  Delta form: only labels that improved last round
+    push, so per-round join input is ∝ |changed|; the edge list is
+    hash-partitioned ONCE on the join key and each round only the
+    changed-label table shuffles into it via shuffle_hash (the
+    BFS/PageRank layout discipline).  From round ``_CC_PJ_FROM``
+    onward, each round also shortcuts label ← label-of-label (a
+    merged⋈merged self-join): min-fold labels are monotone and always
+    name a node in the same component, so jumping preserves the
+    fixpoint while doubling coverage — O(log D) rounds on chains.
+    ``localCheckpoint`` truncates the growing lineage each round —
+    without it, iteration N replays all N-1 predecessors.  Raises
+    loudly if ``_CC_MAX_ITER`` rounds don't reach the fixpoint: a
+    silently-split component is worse than a failure."""
+    spark = nodes.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(par, "b")
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    # DELTA propagation: only labels that IMPROVED last round push to
+    # their neighbors (round 0: everyone pushes).  A node's final label
+    # is still transmitted across every edge at least once — in the
+    # round after its last improvement — so the min-fold fixpoint is
+    # identical to full propagation, but per-round join input is
+    # ∝ |changed|, which collapses once big components settle.  The
+    # changed set is computed AFTER the jump, so jump-improved labels
+    # push too and the invariant survives the shortcutting.
+    changed_df = labels
+    changed = -1
+    for it in range(_CC_MAX_ITER):
+        push = edges.join(
+            changed_df.select(F.col("doc_id").alias("src"), "label").hint(
+                "shuffle_hash"
+            ),
+            F.col("b") == F.col("src"),
+        ).select(F.col("a").alias("doc_id"), "label")
+        nb_min = push.groupBy("doc_id").agg(F.min("label").alias("nb_label"))
+        # carry the old label through the checkpoint so convergence is a
+        # scan of the materialized frame, not another join per round
+        merged = labels.join(nb_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce("nb_label", F.col("label"))
+            ).alias("label"),
+        )
+        merged = merged.localCheckpoint()
+        if it >= _CC_PJ_FROM:
+            # pointer jump on the post-hop labels: label ← label(label).
+            # Self-join of the checkpointed frame (so the hop join above
+            # is never recomputed), re-checkpointed to keep the lineage
+            # one round deep.
+            merged = (
+                merged.join(
+                    merged.select(
+                        F.col("doc_id").alias("j_id"),
+                        F.col("label").alias("j_label"),
+                    ),
+                    F.col("label") == F.col("j_id"),
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    "old_label",
+                    F.least(
+                        F.col("label"), F.coalesce("j_label", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+        changed_df = merged.filter(F.col("label") != F.col("old_label")).select(
+            "doc_id", "label"
+        )
+        changed = changed_df.count()
+        labels = merged.select("doc_id", "label")
+        if changed == 0:
+            break
+    else:
+        # a silently-split component is worse than a loud failure:
+        # chains longer than the jump-accelerated bound must raise
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITER} "
+            f"iterations ({changed} labels still changing); raise "
+            "_CC_MAX_ITER for this graph"
+        )
+    return labels
+
 
 @register(
     "dedup_cluster_cc",
@@ -556,76 +665,16 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a recursive-CTE oracle instead of rows-only; swapping in
     the probabilistic ``minhash_edges`` (the cheaper 100 TB edge
     generator, exercised by dedup_near_minhash's goldens) changes no
-    downstream shape.  Each iteration is one equi-join + one min-agg
-    — the standard distributed CC (label propagation; alternating-star
-    optimizations apply at extreme diameters) — in its DELTA form:
-    only labels that improved last round push, so per-round join
-    input is ∝ |changed| and the convergence count is the delta's own
-    cardinality.  Iterations are bounded
-    by the component diameter, which for near-dup clusters is tiny; the
-    loop exits as soon as a fixpoint is reached (the per-iteration
-    convergence check is a metadata-sized count).  ``localCheckpoint``
-    truncates the growing lineage each round — without it, iteration N
-    replays all N-1 predecessors.
+    downstream shape.  The propagation kernel is :func:`_min_label_cc`
+    — delta-form min-label rounds with a pointer-jumping fallback past
+    round ``_CC_PJ_FROM`` (a planted 100-hop chain converges in ~8
+    rounds, golden-tested in tests/test_llm_extras) — so iterations
+    are bounded by O(log diameter), not the diameter itself, and the
+    per-iteration convergence check is a metadata-sized count.
     """
     d = load(spark, sf_dir, "documents")
     verified = jaccard_pairs(_doc_token_sets(d)).select("a", "b")
-    # undirected symmetric edge list, hash-partitioned ONCE on the join
-    # key (the BFS/PageRank layout discipline): each round only the
-    # changed-label table shuffles into it via shuffle-hash
-    par = spark.sparkContext.defaultParallelism
-    edges = (
-        verified.unionByName(
-            verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .repartition(par, "b")
-        .localCheckpoint()
-    )
-    labels = d.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
-    # DELTA propagation: only labels that IMPROVED last round push to
-    # their neighbors (round 0: everyone pushes).  A node's final label
-    # is still transmitted across every edge at least once — in the
-    # round after its last improvement — so the min-fold fixpoint is
-    # identical to full propagation, but per-round join input is
-    # ∝ |changed|, which collapses once big components settle.
-    changed_df = labels
-    changed = -1
-    for _ in range(_CC_MAX_ITER):
-        push = edges.join(
-            changed_df.select(F.col("doc_id").alias("src"), "label").hint(
-                "shuffle_hash"
-            ),
-            F.col("b") == F.col("src"),
-        ).select(F.col("a").alias("doc_id"), "label")
-        nb_min = push.groupBy("doc_id").agg(F.min("label").alias("nb_label"))
-        # carry the old label through the checkpoint so convergence is a
-        # scan of the materialized frame, not another join per round
-        merged = (
-            labels.join(nb_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nb_label", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed_df = merged.filter(F.col("label") != F.col("old_label")).select(
-            "doc_id", "label"
-        )
-        changed = changed_df.count()
-        labels = merged.select("doc_id", "label")
-        if changed == 0:
-            break
-    else:
-        # a silently-split component is worse than a loud failure:
-        # chains longer than _CC_MAX_ITER hops must raise, not return
-        raise RuntimeError(
-            f"connected components did not converge in {_CC_MAX_ITER} "
-            f"iterations ({changed} labels still changing); raise "
-            "_CC_MAX_ITER or switch to pointer-jumping for this graph"
-        )
+    labels = _min_label_cc(d.select("doc_id"), verified)
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 

@@ -116,6 +116,27 @@ def test_connected_components_closes_chains(spark, tmp_path):
     assert cc[9] == 9
 
 
+def test_cc_pointer_jump_converges_on_100_hop_chain(spark):
+    # a 0-1-2-...-100 path has diameter 100 > _CC_MAX_ITER (20), so
+    # hop-only delta propagation would raise; convergence here proves
+    # the pointer-jumping fallback engages and closes the chain in
+    # _CC_PJ_FROM + O(log2 100) ≈ 8 rounds, rooting every node at 0
+    from task_mapreduce_spark.operators.llm_extras import (
+        _CC_MAX_ITER,
+        _min_label_cc,
+    )
+
+    n = 101
+    assert n - 1 > _CC_MAX_ITER  # the planted chain must exceed the bound
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    out = {r["doc_id"]: r["label"] for r in _min_label_cc(nodes, edges).collect()}
+    assert len(out) == n
+    assert set(out.values()) == {0}
+
+
 def test_simhash_finds_planted_near_dup(spark, tmp_path):
     # SimHash needs a LONG document for a one-word edit to stay within
     # hamming 3: each of the 48 bit-sums aggregates ±1 per distinct
