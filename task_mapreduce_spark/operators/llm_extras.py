@@ -475,9 +475,16 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable oracles in this repo — never a fixed taxonomy;
     k-NN quality across sub-cell boundaries comes from hamming-1
     multiprobe exactly as in sim_search_ann.  Cosine symmetry
-    (score(a,b) = score(b,a)) can additionally halve the pair work at
-    cluster scale by scoring a < b once and unioning the mirrored
-    half before the window."""
+    (score(a,b) = score(b,a)) HALVES the pair work: the join scores
+    each unordered pair once (a < b) and both orientations are emitted
+    from the scored row by a size-2 inline-array explode — one pass,
+    no recompute, no pair-list checkpoint (an explode of an inline
+    never-empty literal array is the size-preserving safe shape per
+    the repo invariant).  Multiplication is commutative and the
+    zip_with fold order is index-sequential on both engines, so the
+    once-computed rounded cosine is bit-identical to scoring each
+    orientation separately — the oracle (which scores both ways) still
+    value-matches."""
     # checkpoint: the cast+norm projection feeds both join sides (and
     # the broadcast ships materialized rows, not replayed lineage)
     e = _normed_vectors(load(spark, sf_dir, "embeddings"), "label").localCheckpoint()
@@ -498,13 +505,27 @@ def sim_join_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    scored = a.join(
+        build_t(b),
+        (F.col("la") == F.col("lb")) & (F.col("vec_id") < F.col("nb_id")),
+    ).select("vec_id", "nb_id", cos.alias("cosine"))
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("q"), F.col("nb_id").alias("n")
+                ),
+                F.struct(
+                    F.col("nb_id").alias("q"), F.col("vec_id").alias("n")
+                ),
+            )
+        ).alias("p"),
+        "cosine",
+    ).select(
+        F.col("p.q").alias("vec_id"), F.col("p.n").alias("nb_id"), "cosine"
+    )
     return (
-        a.join(
-            build_t(b),
-            (F.col("la") == F.col("lb")) & (F.col("vec_id") != F.col("nb_id")),
-        )
-        .select("vec_id", "nb_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        both.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _KNN_K)
     )
 

@@ -225,17 +225,26 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
     tok = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode_outer("shingles").alias("token")
     )
-    nvocab = tok.select("token").distinct().count()
     # The bitmap band join BROADCASTS the full |corpus|-row packed
     # table (ndocs × (⌈V/64⌉ + 3) longs), so the path is gated on BOTH
     # statistics: vocabulary width AND estimated packed size.  Above
     # the broadcast budget the inverted-index count join below takes
-    # over — fully shuffle-based, no |corpus|-bound broadcast.
+    # over — fully shuffle-based, no |corpus|-bound broadcast.  Both
+    # stats ride ONE gating job (the _cell_join_sides pattern): the
+    # 1-row vocab aggregate cross-joined with the 1-row corpus count,
+    # whose subplan Catalyst prunes to a row count of documents — no
+    # shingle recompute, no second job round-trip.
+    stats = (
+        tok.select("token")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("nvocab"))
+        .crossJoin(sh.agg(F.count(F.lit(1)).alias("ndocs")))
+        .first()
+    )
+    nvocab, ndocs = stats["nvocab"], stats["ndocs"]
     nw_est = (nvocab + 63) // 64
     if nvocab <= _BITMAP_VOCAB_MAX and (
-        # the corpus-count job only runs once the vocab gate passed —
-        # the large-vocabulary path must not pay a wasted |corpus| scan
-        sh.count() * (nw_est + 3) * 8 <= _BITMAP_BCAST_BYTES_MAX
+        ndocs * (nw_est + 3) * 8 <= _BITMAP_BCAST_BYTES_MAX
     ):
         nw = nw_est
         dictionary = (
