@@ -17,22 +17,26 @@ import importlib.util
 import os
 import sys
 
-def _norm(v) -> str:
+def _norm(v, collapse_midnight: bool = False) -> str:
     """Canonicalize a collected value before comparison, so engine-side
     rendering differences (Decimal vs float repr, naive vs tz-aware
-    timestamp repr, DATE vs midnight-TIMESTAMP) cannot produce a false
-    MISMATCH for keys added later.  Mirrors what the repo's oracle
-    contract already guarantees semantically: values equal at 9-decimal
-    scale ARE equal."""
+    timestamp repr) cannot produce a false MISMATCH for keys added
+    later.  Mirrors what the repo's oracle contract already guarantees
+    semantically: values equal at 9-decimal scale ARE equal.
+
+    ``collapse_midnight`` renders a midnight timestamp as its bare
+    date.  It is set PER COLUMN, and only when the two engines disagree
+    on the column's Python type (one side date, the other datetime —
+    the DuckDB-1.0 date_trunc drift) — an unconditional collapse would
+    also mask a genuine bug where one engine wrongly truncates a real
+    time-of-day to midnight while the other returns the DATE of the
+    same day."""
     import datetime
     import decimal
 
     if isinstance(v, datetime.datetime):
         v = v.replace(tzinfo=None)
-        # midnight timestamps canonicalize to the bare date so a
-        # DATE-returning engine (DuckDB 1.0 date_trunc) and a
-        # midnight-TIMESTAMP-returning one compare equal
-        if v.time() == datetime.time(0, 0):
+        if collapse_midnight and v.time() == datetime.time(0, 0):
             return v.date().isoformat()
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
@@ -49,6 +53,27 @@ def _norm(v) -> str:
     return str(v)
 
 
+def _collapse_flags(s_rows, o_rows, ncols) -> list[bool]:
+    """Per-column midnight-collapse decision: True only where the two
+    engines disagree on the value type (exactly one side returns bare
+    ``date`` objects while the other returns ``datetime``)."""
+    import datetime
+
+    def tset(rows, j):
+        return {type(x) for x in (r[j] for r in rows) if x is not None}
+
+    flags = []
+    for j in range(ncols):
+        ts_, to_ = tset(s_rows, j), tset(o_rows, j)
+        # exact-class check: datetime.datetime subclasses datetime.date,
+        # so isinstance would not distinguish them
+        flags.append(
+            (datetime.date in ts_ and datetime.datetime in to_)
+            or (datetime.datetime in ts_ and datetime.date in to_)
+        )
+    return flags
+
+
 TS_KEYS = [
     "tpch_q1",
     "project_rename_cast",
@@ -56,6 +81,11 @@ TS_KEYS = [
     "rollup_hypertable",
     "sessionize_events",
     "fn_date",
+    # both derive ordering from unix_micros(cast(ts_ntz as timestamp)),
+    # which is session-tz-dependent (DST-gap wall clocks can collapse
+    # and reorder seq) — exactly what this probe exists to exercise
+    "events_pattern_match",
+    "sessions_concurrency",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_PROBE_SF", "/root/testdata/sf0.01")
@@ -95,14 +125,21 @@ def main() -> int:
     for key in TS_KEYS:
         sdf = queries[key](spark, SF)
         scols = sorted(sdf.columns)
-        srows = sorted(
-            tuple(_norm(r[c]) for c in scols) for r in sdf.collect()
-        )
+        s_raw = [tuple(r[c] for c in scols) for r in sdf.collect()]
         cur = con.execute(oracles[key])
         ocols_raw = [d[0] for d in cur.description]
         order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+        o_raw = [tuple(row[i] for i in order) for row in cur.fetchall()]
+        flags = (
+            _collapse_flags(s_raw, o_raw, len(scols))
+            if len(ocols_raw) == len(scols)
+            else [False] * len(scols)
+        )
+        srows = sorted(
+            tuple(_norm(v, flags[j]) for j, v in enumerate(r)) for r in s_raw
+        )
         orows = sorted(
-            tuple(_norm(row[i]) for i in order) for row in cur.fetchall()
+            tuple(_norm(v, flags[j]) for j, v in enumerate(r)) for r in o_raw
         )
         ok = srows == orows and scols == sorted(ocols_raw)
         print(f"tz-probe {key}: {'ok' if ok else 'MISMATCH'} rows={len(srows)}")

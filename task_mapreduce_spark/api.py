@@ -57,10 +57,11 @@ def map_reduce(
     single-row reduce group costs a full exchange for an identity.
     """
     if reducer is None and combiner is not None:
-        # Hadoop semantics: the combiner belongs to the (absent) reduce
-        # phase — silently running it map-side would emit per-batch
-        # partials whose multiset depends on partition layout,
-        # violating the determinism contract
+        # deliberately STRICTER than Hadoop, which silently ignores the
+        # combiner when numReduceTasks=0: running it map-side would
+        # emit per-batch partials whose multiset depends on partition
+        # layout, and a caller passing one almost certainly expected a
+        # reduce phase — surface the mistake instead of dropping it
         raise ValueError("a map-only job (reducer=None) cannot take a combiner")
     kv = records.select(key_col, value_col)
 

@@ -28,7 +28,14 @@ def test_mix_scarcest_stratum_keeps_everything(spark, sf_dir):
     assert any(r["n_kept"] == r["n_docs"] for r in rows)
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_docs"]
-    assert sum(r["target_ppm"] for r in rows) == 1_000_000
+    # per-lang ppm is floor(w*1e6/W), so the sum may fall short of a
+    # full million by at most one floor-loss per stratum — asserting
+    # exact equality would break on any weight change where the
+    # divisions stop coming out even
+    from task_mapreduce_spark.operators.curation import _MIX_WEIGHTS
+
+    total_ppm = sum(r["target_ppm"] for r in rows)
+    assert 1_000_000 - len(_MIX_WEIGHTS) < total_ppm <= 1_000_000
 
 
 def test_mix_rates_follow_weights_on_planted_counts(spark, tmp_path):
