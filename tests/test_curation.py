@@ -180,3 +180,39 @@ def test_recall_matches_arm_intersection(spark, sf_dir):
         assert r["n_exact"] == n_ex
         assert r["n_hit"] == hits
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_eval_prf
+# ---------------------------------------------------------------------------
+
+
+def test_prf_planted_bands_show_the_s_curve(spark, tmp_path):
+    # two disjoint-alphabet pairs: A~B share 14 of 26 bigrams
+    # (J = 14/26 ≈ 0.538 → band 5), C~D share 20 of 21 (J ≈ 0.952 →
+    # band 9).  With 4 bands × 4 rows the catch probabilities are
+    # ≈ 0.30 and ≈ 0.999; the md5-derived hashes are deterministic, so
+    # the observed outcome — band-5 pair MISSED, band-9 pair caught —
+    # is a stable golden and is exactly the banding-loss signal the
+    # eval exists to surface (recall lowest just above threshold)
+    a = " ".join(f"a{i}" for i in range(21))
+    b = " ".join(f"a{i}" for i in range(6, 27))
+    c = " ".join(f"c{i}" for i in range(21))
+    d = " ".join(f"c{i}" for i in range(22))
+    rows = [
+        (1, a, "en", "s", len(a)),
+        (2, b, "en", "s", len(b)),
+        (3, c, "en", "s", len(c)),
+        (4, d, "en", "s", len(d)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["j_band"]: r for r in QUERIES["dedup_eval_prf"](spark, sf).collect()
+    }
+    assert set(out) == {5, 9}
+    assert out[5]["n_exact"] == 1 and out[5]["n_hit"] == 0
+    assert out[5]["recall"] == 0.0
+    assert out[9]["n_exact"] == 1 and out[9]["n_hit"] == 1
+    assert out[9]["recall"] == 1.0
+    # LSH ⊆ exact from two independent Jaccard implementations
+    assert all(r["lsh_subset"] for r in out.values())

@@ -158,6 +158,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "tpch_q22",             # 1-row global-avg-balance scalar-subquery crossJoin
         "basket_pairs",         # 1-row order-total crossJoin (lift denominator)
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
+        "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
