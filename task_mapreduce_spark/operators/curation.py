@@ -408,7 +408,17 @@ def _prf_params(j: int) -> tuple[int, int]:
     return a, b
 
 
-def _prf_oracle() -> str:
+# integer J >= 0.5 verify over two shingle-set CTE aliases — shared by
+# the prf and incremental oracles
+_LSH_VERIFY_WHERE = """2 * len(list_intersect(sa.shingles, sb.shingles))
+            >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))"""
+
+
+def _lsh_cand_ctes() -> str:
+    """The shared portable-LSH CTE prefix (documents → shingles →
+    48-bit md5 token hashes → 16 mixed minhashes → 4 band keys →
+    capped-bucket candidate pairs `cand(a, b)`, a < b) — identical
+    pipeline to the Spark-side :func:`_portable_lsh_cand`."""
     mixes = []
     for j in range(_PRF_HASHES):
         a, b = _prf_params(j)
@@ -424,8 +434,7 @@ def _prf_oracle() -> str:
         + " AS bkey FROM sig"
         for b in range(_PRF_BANDS)
     )
-    return f"""
-    WITH t AS (
+    return f"""t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
     sh AS (
@@ -458,13 +467,97 @@ def _prf_oracle() -> str:
                     AND x.doc_id < y.doc_id
       JOIN sizes z ON z.band = x.band AND z.bkey = x.bkey
       WHERE z.c <= {_PRF_MAX_BUCKET}
-    ),
+    )"""
+
+
+def _portable_lsh_cand(sh: DataFrame) -> DataFrame:
+    """Candidate pairs (a, b), a < b, from the portable md5 LSH over a
+    (checkpointed) shingle frame — the Spark twin of
+    :func:`_lsh_cand_ctes`: one md5 per shingle, 16 multiply-add
+    minhash mixes, 4 band keys in one struct-array explode, candidates
+    from ONE groupBy with in-row pair expansion and the degenerate-
+    bucket cap (the dedup_near_minhash discipline throughout)."""
+
+    def perm_min(j: int):
+        # closure factory per the repo invariant (never default args)
+        a, b = _prf_params(j)
+        return F.array_min(
+            F.transform(
+                "hs", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_PRF_M)
+            )
+        )
+
+    hv = sh.filter(F.size("shingles") >= 1).select(
+        "doc_id",
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    sig = hv.select(
+        "doc_id", *[perm_min(j).alias(f"m{j}") for j in range(_PRF_HASHES)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"m{b * _PRF_ROWS + i}")
+                        for i in range(_PRF_ROWS)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(_PRF_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    ids = F.array_sort(F.collect_list("doc_id"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.groupBy("band", "bkey")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _PRF_MAX_BUCKET))
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
+def _shingle_join_sides(sh: DataFrame):
+    """(sa, sb, inter, uni): the two aliased shingle-set join sides and
+    the null-clamped integer Jaccard numerator/denominator columns
+    (the minhash_edges discipline)."""
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.greatest(
+        F.size(F.array_intersect("sh_a", "sh_b")), F.lit(0)
+    ).cast("long")
+    uni = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast(
+        "long"
+    )
+    return sa, sb, inter, uni
+
+
+def _prf_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_ctes()},
     lsh AS (
       SELECT c.a, c.b FROM cand c
       JOIN sh sa ON sa.doc_id = c.a
       JOIN sh sb ON sb.doc_id = c.b
-      WHERE 2 * len(list_intersect(sa.shingles, sb.shingles))
-            >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      WHERE {_LSH_VERIFY_WHERE}
     ),
     ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
     e AS (
@@ -523,69 +616,8 @@ def dedup_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d).localCheckpoint()
-
-    def perm_min(j: int):
-        # closure factory per the repo invariant (never default args)
-        a, b = _prf_params(j)
-        return F.array_min(
-            F.transform(
-                "hs", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_PRF_M)
-            )
-        )
-
-    hv = sh.filter(F.size("shingles") >= 1).select(
-        "doc_id",
-        F.transform(
-            "shingles",
-            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
-        ).alias("hs"),
-    )
-    sig = hv.select(
-        "doc_id", *[perm_min(j).alias(f"m{j}") for j in range(_PRF_HASHES)]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col(f"m{b * _PRF_ROWS + i}")
-                        for i in range(_PRF_ROWS)
-                    ],
-                ).alias("bkey"),
-            )
-            for b in range(_PRF_BANDS)
-        ]
-    )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
-    ids = F.array_sort(F.collect_list("doc_id"))
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
-    cand = (
-        buckets.groupBy("band", "bkey")
-        .agg(ids.alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= _PRF_MAX_BUCKET))
-        .select(F.explode(combos).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    # null-clamped integer Jaccard, the minhash_edges discipline
-    inter = F.greatest(F.size(F.array_intersect("sh_a", "sh_b")), F.lit(0)).cast(
-        "long"
-    )
-    uni = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast("long")
+    cand = _portable_lsh_cand(sh)
+    sa, sb, inter, uni = _shingle_join_sides(sh)
     lsh = (
         cand.join(sa, "a")
         .join(sb, "b")
@@ -617,4 +649,142 @@ def dedup_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
         (F.col("n_extra") == 0).alias("lsh_subset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — new-batch dedup against the existing corpus index
+# ---------------------------------------------------------------------------
+
+# Production dedup is INCREMENTAL: documents arrive in batches and each
+# batch is checked against the already-accepted corpus, never the other
+# way around.  The arriving batch is the deterministic ~10% hash slice
+# (split_train_test's portable doc_id hash), the "index" is everyone
+# else.  Uses the same fully-portable LSH as dedup_eval_prf, so the
+# oracle replays the entire decision — not a rows-only check.
+_INCR_BATCH_MOD = 10   # hash % 10 == 0 → the arriving batch (~10%)
+
+
+def _incr_oracle() -> str:
+    return f"""
+    WITH {_lsh_cand_ctes()},
+    f AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % {_INCR_BATCH_MOD} = 0 AS is_batch
+      FROM documents
+    ),
+    oriented AS (
+      -- keep only pairs touching the batch; orient so new_id is the
+      -- arriving doc (both-batch pairs: the LARGER id defers to the
+      -- smaller, the deterministic first-accepted-wins rule)
+      SELECT CASE WHEN fa.is_batch AND NOT fb.is_batch THEN c.a
+                  ELSE c.b END AS new_id,
+             CASE WHEN fa.is_batch AND NOT fb.is_batch THEN c.b
+                  ELSE c.a END AS partner
+      FROM cand c
+      JOIN f fa ON fa.doc_id = c.a
+      JOIN f fb ON fb.doc_id = c.b
+      WHERE fa.is_batch OR fb.is_batch
+    ),
+    ver AS (
+      SELECT o.new_id, o.partner FROM oriented o
+      JOIN sh sa ON sa.doc_id = o.new_id
+      JOIN sh sb ON sb.doc_id = o.partner
+      WHERE {_LSH_VERIFY_WHERE}
+    ),
+    agg AS (
+      SELECT new_id, MIN(partner) AS dup_of,
+             COUNT(*) AS n_dup_partners
+      FROM ver GROUP BY new_id
+    )
+    SELECT f.doc_id,
+           agg.new_id IS NULL AS is_new,
+           CAST(agg.dup_of AS BIGINT) AS dup_of,
+           CAST(COALESCE(agg.n_dup_partners, 0) AS BIGINT) AS n_dup_partners
+    FROM f LEFT JOIN agg ON agg.new_id = f.doc_id
+    WHERE f.is_batch
+    """
+
+
+@register("dedup_incremental", oracle=_incr_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: decide, for every ARRIVING document,
+    whether it is new or a near-dup (J ≥ 0.5) of (a) any already-
+    accepted corpus document or (b) a smaller-id document in its own
+    batch (deterministic first-accepted-wins).  The arriving batch is
+    the portable ~10% doc_id-hash slice; everyone else is the index.
+
+    Fully value-checked via the shared portable LSH
+    (:func:`_portable_lsh_cand` / :func:`_lsh_cand_ctes`): the oracle
+    replays signatures, banding, bucket cap, orientation and verify,
+    and compares per-doc decisions (is_new, dup_of, n_dup_partners).
+
+    The batch-relevance filter runs BEFORE the Jaccard verify, so
+    verify work ∝ batch collisions, never index×index pairs — the
+    incremental cost model.  At 100 TB the index side of the bucket
+    join is persisted signature state (the agg_sketch_merge
+    persistence contract applied to dedup): band keys for accepted
+    docs are stored partitioned by (band, bucket prefix), each
+    arriving batch computes only ITS signatures and equi-joins the
+    store, and accepted newcomers append their band keys — per-ingest
+    cost is |batch| signature work + collided-bucket verification,
+    with no corpus rescan anywhere."""
+    from task_mapreduce_spark.operators.llm_pipeline import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d).localCheckpoint()
+
+    def is_batch(c):
+        # pure function of doc_id — evaluated as an expression wherever
+        # needed, never joined (a |corpus|-row flag join would need a
+        # shuffle; this stays scan-side at any scale)
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            % _INCR_BATCH_MOD
+            == 0
+        )
+
+    flags = d.select("doc_id", is_batch(F.col("doc_id")).alias("is_batch"))
+    cand = _portable_lsh_cand(sh)
+    oriented = (
+        cand.select(
+            "a",
+            "b",
+            is_batch(F.col("a")).alias("ab"),
+            is_batch(F.col("b")).alias("bb"),
+        )
+        .filter(F.col("ab") | F.col("bb"))
+        .select(
+            F.when(F.col("ab") & ~F.col("bb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("new_id"),
+            F.when(F.col("ab") & ~F.col("bb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("partner"),
+        )
+    )
+    sa, sb, inter, uni = _shingle_join_sides(sh)
+    ver = (
+        oriented.join(sa, oriented.new_id == sa.a)
+        .join(sb, oriented.partner == sb.b)
+        .filter(F.lit(2) * inter >= uni)
+        .select("new_id", "partner")
+    )
+    agg = ver.groupBy("new_id").agg(
+        F.min("partner").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_dup_partners"),
+    )
+    return (
+        flags.filter("is_batch")
+        .join(agg, flags.doc_id == agg.new_id, "left")
+        .select(
+            "doc_id",
+            F.col("new_id").isNull().alias("is_new"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.coalesce("n_dup_partners", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_partners"),
+        )
     )

@@ -216,3 +216,34 @@ def test_prf_planted_bands_show_the_s_curve(spark, tmp_path):
     assert out[9]["recall"] == 1.0
     # LSH ⊆ exact from two independent Jaccard implementations
     assert all(r["lsh_subset"] for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_planted_decisions(spark, tmp_path):
+    # doc_id hash slices (md5 % 10): 5/34/35 are BATCH, 1/2 are STORE.
+    # Plant: batch 5 near-dups store 1; batch 34 and 35 near-dup each
+    # other (no store partner) -> 35 defers to 34 (smaller id wins) and
+    # 34 is new; a fresh batch doc with a disjoint alphabet is new.
+    x = " ".join(f"x{i}" for i in range(21))        # store 1
+    x2 = " ".join(f"x{i}" for i in range(22))       # batch 5: J=20/21 vs store
+    y = " ".join(f"y{i}" for i in range(21))        # batch 34
+    y2 = " ".join(f"y{i}" for i in range(22))       # batch 35: J=20/21 vs 34
+    z = " ".join(f"z{i}" for i in range(21))        # batch 47: fresh
+    rows = [
+        (1, x, "en", "s", len(x)),
+        (5, x2, "en", "s", len(x2)),
+        (34, y, "en", "s", len(y)),
+        (35, y2, "en", "s", len(y2)),
+        (47, z, "en", "s", len(z)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_incremental"](spark, sf).collect()}
+    assert set(out) == {5, 34, 35, 47}  # store doc 1 never emits a row
+    assert not out[5]["is_new"] and out[5]["dup_of"] == 1
+    assert out[34]["is_new"] and out[34]["dup_of"] is None
+    assert not out[35]["is_new"] and out[35]["dup_of"] == 34
+    assert out[47]["is_new"] and out[47]["n_dup_partners"] == 0
