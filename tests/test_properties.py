@@ -248,3 +248,54 @@ def test_decimal_exact_sum_identical_across_engines(spark, oracle, vals):
         vals,
     ).fetchone()[0]
     assert str(got) == str(want), (got, want)
+
+
+# random sparse graphs: _min_label_cc (delta propagation + pointer
+# jumping) must match a reference union-find exactly — exercises the
+# jump path whenever hypothesis draws a component with diameter > 3
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=EDGES)
+def test_min_label_cc_matches_union_find(spark, edges):
+    from task_mapreduce_spark.operators.llm_extras import _min_label_cc
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in range(n)}
+    # min-label fixpoint = the minimum node id per component, which is
+    # exactly what min-merging union-find roots yield
+    want = {x: min(y for y in range(n) if find(y) == find(x)) for x in range(n)}
+
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)], "a LONG, b LONG"
+    ).filter(F.col("a") != F.col("b"))
+    got = {
+        r["doc_id"]: r["label"]
+        for r in _min_label_cc(nodes, edf).collect()
+    }
+    assert got == want
