@@ -263,6 +263,46 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate AS d,
+           o_totalprice AS p,
+           o_totalprice + 10 AS p_plus,
+           o_orderstatus || '/' || o_orderpriority AS tag
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct create/access/update: ``struct`` + ``getField`` +
+    ``withField`` + ``dropFields`` — the nested-record surface every
+    schema-evolution pipeline leans on (add a derived field, retire a
+    raw one, without unpacking the record).  All in-row codegen
+    expressions, zero shuffle.  The oracle mirrors the flattened VALUES
+    (the fn_map discipline: DuckDB's STRUCT type round-trips its own
+    way; what must match is what the field ops computed).  p_plus is a
+    single IEEE add — bit-identical across engines, no rounding
+    needed."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    s2 = s.withField("p_plus", s.getField("p") + 10)
+    s3 = s2.dropFields("st")  # (d, p, p_plus): raw field retired
+    return o.select(
+        "o_orderkey",
+        s3.getField("d").alias("d"),
+        s3.getField("p").alias("p"),
+        s3.getField("p_plus").alias("p_plus"),
+        F.concat_ws("/", s.getField("st"), F.col("o_orderpriority")).alias(
+            "tag"
+        ),
+    )
+
+
+@register(
     "fn_json",
     oracle="""
     SELECT event_id,
