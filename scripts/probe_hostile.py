@@ -88,6 +88,15 @@ TS_KEYS = [
     "sessions_concurrency",
 ]
 
+# keys sensitive to the OTHER runtime-settable semantics a hostile
+# session could flip (both tainted in the builder below; tune() must
+# pin them back): ANSI arithmetic/casts, legacy size(NULL) = -1
+SEMANTICS_KEYS = [
+    "dedup_near_minhash",  # size()-based integer Jaccard + clamps
+    "fn_array",            # size/slice/element_at surface
+    "agg_count_sum_avg",   # long arithmetic the ANSI rules govern
+]
+
 SF = os.environ.get("SPARK_GRAFT_PROBE_SF", "/root/testdata/sf0.01")
 
 
@@ -97,6 +106,8 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", "America/New_York")  # taint
+        .config("spark.sql.ansi.enabled", "false")                 # taint
+        .config("spark.sql.legacy.sizeOfNull", "true")             # taint
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
@@ -122,7 +133,7 @@ def main() -> int:
 
     queries, oracles = mod.queries(), mod.oracle_sql()
     fails = []
-    for key in TS_KEYS:
+    for key in TS_KEYS + SEMANTICS_KEYS:
         sdf = queries[key](spark, SF)
         scols = sorted(sdf.columns)
         s_raw = [tuple(r[c] for c in scols) for r in sdf.collect()]

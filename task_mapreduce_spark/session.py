@@ -43,8 +43,19 @@ def tune(spark: SparkSession) -> SparkSession:
     exchange.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    except Exception:
-        pass
+    # The whole oracle surface is validated under ANSI semantics and
+    # modern size(NULL)=NULL.  Both are runtime-settable, so a hostile
+    # session could arrive with them flipped (exactly like the
+    # timezone) — pin them explicitly; scripts/probe_hostile.py
+    # re-runs sensitive keys under the flipped taints to prove the
+    # override holds.
+    for k, v in (
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.ansi.enabled", "true"),
+        ("spark.sql.legacy.sizeOfNull", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     return spark
