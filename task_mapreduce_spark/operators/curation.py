@@ -746,7 +746,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
 
-    flags = d.select("doc_id", is_batch(F.col("doc_id")).alias("is_batch"))
+    # every doc_id (empty-shingle docs included) is present in the
+    # checkpointed shingle frame — derive the flags from it instead of
+    # re-scanning the documents parquet
+    flags = sh.select("doc_id", is_batch(F.col("doc_id")).alias("is_batch"))
     cand = _portable_lsh_cand(sh)
     oriented = (
         cand.select(
