@@ -1276,3 +1276,92 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq").rlike(_PATTERN).alias("matched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_project_rp — random-projection dimensionality reduction
+# ---------------------------------------------------------------------------
+
+_RP_OUT_DIMS = 16  # 64 → 16: the 4× byte cut before indexing
+
+
+def _rp_oracle() -> str:
+    from task_mapreduce_spark.operators.llm_extras import _hyperplanes
+
+    planes = _hyperplanes()
+    lits = [
+        "[" + ", ".join(repr(c) for c in p) + "]::DOUBLE[]" for p in planes
+    ]
+    proj = ", ".join(
+        f"round(list_dot_product(v, {lits[k]}), 6)" for k in range(_RP_OUT_DIMS)
+    )
+    # norm ratio from the ROUNDED projections, summed in written order
+    # (a literal + chain, not an aggregate — identical fold both engines)
+    sq = " + ".join(f"p[{k + 1}] * p[{k + 1}]" for k in range(_RP_OUT_DIMS))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT vec_id, [{proj}] AS p,
+             sqrt(list_dot_product(v, v)) AS nrm
+      FROM e WHERE len(v) = 64
+    )
+    SELECT vec_id, p AS proj,
+           CASE WHEN nrm > 0 THEN round(sqrt({sq}) / nrm, 6) END AS norm_ratio
+    FROM pr
+    """
+
+
+@register("embedding_project_rp", oracle=_rp_oracle())
+def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian random projection 64 → 16 dims — the
+    Johnson-Lindenstrauss byte cut every embedding pipeline runs
+    before indexing (4× smaller vectors, pairwise geometry preserved
+    in expectation; the companion int8 cut is embedding_quantize).
+
+    The projection matrix is the SAME fixed-seed rounded hyperplane
+    pool sim_search_ann signs against (llm_extras._hyperplanes) —
+    deterministic literals inlined identically into both engines, so
+    every projected coordinate is value-checked at round-6.
+    ``norm_ratio`` = ‖p‖/‖v‖ is computed from the ROUNDED projections
+    with a written-order square chain (no aggregate fold), making it
+    bit-portable; by JL concentration it clusters near √k ≈ 4 for
+    unit-variance planes, and a drifting ratio is the production
+    signal that the projection matrix no longer matches the data dim.
+
+    Narrow projection end-to-end: zero shuffle, scales with scan
+    bandwidth alone (plan-asserted beside embedding_quantize).  Rows
+    whose width differs from the pinned 64-dim matrix are EXCLUDED on
+    both sides rather than silently mis-scored — in production the
+    matrix is generated for the incoming dim (a k×dim broadcast
+    literal at any scale)."""
+    from task_mapreduce_spark.operators.llm_extras import _dot, _hyperplanes
+
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    t = e.select("vec_id", v.alias("v")).filter(F.size("v") == 64)
+
+    def proj_k(k: int):
+        # closure factory (repo invariant) over the k-th plane literal
+        plane = F.array(*[F.lit(c) for c in _hyperplanes()[k]])
+        return F.round(_dot(F.col("v"), plane), 6)
+
+    p = F.array(*[proj_k(k) for k in range(_RP_OUT_DIMS)])
+    t = t.select(
+        "vec_id",
+        p.alias("p"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    sq = None
+    for k in range(_RP_OUT_DIMS):
+        term = F.element_at("p", k + 1) * F.element_at("p", k + 1)
+        sq = term if sq is None else sq + term
+    return t.select(
+        "vec_id",
+        F.col("p").alias("proj"),
+        F.when(F.col("nrm") > 0, F.round(F.sqrt(sq) / F.col("nrm"), 6)).alias(
+            "norm_ratio"
+        ),
+    )

@@ -245,10 +245,11 @@ def test_sample_stratified_filter_is_scan_side(spark, sf_dir):
 
 
 def test_embedding_quantize_is_narrow(spark, sf_dir):
-    # pure projection: no Exchange, no Sort, no join anywhere
-    plan = plan_of(spark, sf_dir, "embedding_quantize")
-    for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
-        assert op not in plan, f"unexpected {op} in a narrow projection"
+    # pure projections: no Exchange, no Sort, no join anywhere
+    for key in ("embedding_quantize", "embedding_project_rp"):
+        plan = plan_of(spark, sf_dir, key)
+        for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert op not in plan, f"unexpected {op} in {key}"
 
 
 def test_rollup_hypertable_single_shuffle(spark, sf_dir):
