@@ -48,14 +48,15 @@ def tune(spark: SparkSession) -> SparkSession:
     # session could arrive with them flipped (exactly like the
     # timezone) — pin them explicitly; scripts/probe_hostile.py
     # re-runs sensitive keys under the flipped taints to prove the
-    # override holds.
-    for k, v in (
-        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ("spark.sql.ansi.enabled", "true"),
-        ("spark.sql.legacy.sizeOfNull", "false"),
-    ):
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass
+    # override holds.  These two pins must NOT share the Arrow conf's
+    # exception swallow: a build where setting them fails would leave
+    # the session semantics silently tainted, and a loud failure here
+    # beats a downstream parity mystery.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    try:
+        # optional acceleration only — absence changes no semantics
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
     return spark

@@ -264,7 +264,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back.  high_water(r) = max(prefix max of earlier
     buckets, running max of earlier rows in r's bucket) exactly,
     because arrival is injective on event_id (odd multiplier mod 2^32)
-    so bucket order extends row order with no ties.  At 100 TB no task
+    so bucket order extends row order with no ties.  PRECONDITION: the
+    injectivity — and with it the tie-free order both engines agree on
+    — holds only while event_ids are distinct mod 2^32 (< 4B events per
+    replayed table); past that, break ties by ordering on
+    (arrival, event_id) on BOTH sides before trusting the value check
+    (see SCALE.md §streaming).  At 100 TB no task
     ever holds more than one bucket's slice; the old single-task
     ``Window.orderBy(arrival)`` funneled the whole table through one
     partition (round-5 VERDICT's one `weak` mark)."""

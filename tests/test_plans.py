@@ -437,14 +437,29 @@ def test_watermark_running_max_window_is_partitioned(spark, sf_dir):
 
     tree = plan.split("\n\n")[0]
     lines = tree.splitlines()
+
+    def node_depth(s: str) -> int:
+        # tree glyphs (spaces, ':', '+', '-', '*') precede the operator
+        # name; their count is the node's depth in the printed tree
+        m = re.match(r"[\s:+*()0-9-]*", s)
+        return m.end()
+
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        # the node it consumes is printed on the following line(s) at
-        # deeper indentation; the bucket-maxima branch shows
-        # HashAggregate directly below
-        below = "\n".join(lines[i + 1 : i + 3])
-        assert "HashAggregate" in below or "Sort" in below, plan
+        # the ENTIRE child subtree of the exchange (every following line
+        # printed deeper than the exchange itself) must contain the
+        # bucket-maxima HashAggregate — a Sort alone (a full-table sort
+        # funneled through one partition, the exact shape this test
+        # forbids) no longer passes, and the check is indentation-
+        # bounded instead of a fixed 2-line window
+        depth = node_depth(line)
+        subtree = []
+        for below in lines[i + 1 :]:
+            if node_depth(below) <= depth:
+                break
+            subtree.append(below)
+        assert any("HashAggregate" in s for s in subtree), plan
 
 
 def test_mr_grep_is_map_only_no_shuffle(spark, sf_dir):

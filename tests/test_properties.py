@@ -285,7 +285,6 @@ def test_min_label_cc_matches_union_find(spark, edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    want = {x: find(x) for x in range(n)}
     # min-label fixpoint = the minimum node id per component, which is
     # exactly what min-merging union-find roots yield
     want = {x: min(y for y in range(n) if find(y) == find(x)) for x in range(n)}
