@@ -533,3 +533,163 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_in_lang", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank_in_lang") <= _BALANCED_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# True BPE tokenizer training (merge-rule learning)
+# ---------------------------------------------------------------------------
+
+# Learned merge rounds.  Each round is vocabulary-sized work (see
+# tokenizer_train_bpe docstring), so K bounds plan depth, not data cost.
+_BPE_MERGES = 8
+
+
+def _bpe_merge_ctes(k: int) -> str:
+    """The K unrolled merge rounds as DuckDB CTEs.  Every primitive is
+    engine-portable: regexp char-splitting, in-row adjacent-pair
+    expansion, exact integer counts, (count DESC, pair ASC) argmax, and
+    the TWO-PASS non-overlapping left-to-right `replace` both engines
+    implement identically (see the operator docstring for why two
+    passes define the merge-application semantics)."""
+    ctes = [
+        """w0 AS (
+      SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    selects = []
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+      SELECT pr AS pair, SUM(freq) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                      i -> syms[i] || ' ' || syms[i + 1])) AS pr, freq
+        FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM {prev})
+        WHERE len(syms) >= 2
+      ) GROUP BY pr
+    )"""
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{r} AS (
+      SELECT replace(replace(seq,
+                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
+               AS seq, freq
+      FROM {prev}, b{r} b
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
+           string_split(pair, ' ')[1] AS left_sym,
+           string_split(pair, ' ')[2] AS right_sym,
+           replace(pair, ' ', '') AS merged,
+           CAST(cnt AS BIGINT) AS cnt FROM b{r}"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register("tokenizer_train_bpe", oracle=_bpe_merge_ctes(_BPE_MERGES))
+def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE BPE tokenizer training: learn the first ``_BPE_MERGES``
+    merge rules from the corpus (the standard LLM-pipeline stage
+    ``text_tokenize_bpe`` only *applies* a pretokenizer for; this one
+    LEARNS the merge table).  Classic algorithm: start from characters,
+    repeat K times {count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair everywhere}.
+
+    Shape per round — the MapReduce word-count loop on VOCABULARY-sized
+    state: after the single corpus-scale job (the word-frequency
+    aggregate, word-count shape with map-side combine), every round
+    touches only the distinct-word table (|vocab| rows — millions at
+    100 TB, vs trillions of corpus tokens), so K merge rounds cost K
+    vocabulary passes, never K corpus scans.  Pair counting is the
+    in-row ``transform(sequence(...))`` adjacent-pair expansion
+    (size-preserving, the safe explode shape) feeding one hash-agg;
+    the argmax is a global top-1 — TakeOrderedAndProject, O(1) state
+    per partition — cross-joined back as a broadcast 1-row frame (the
+    repo's metadata-row pattern); each round ``localCheckpoint``s the
+    merged vocabulary so lineage stays one round deep (the
+    ``_min_label_cc`` iterative discipline).
+
+    Determinism / portability: words are the ``[a-z]+`` runs of
+    lowercased text (both regex engines agree); the argmax tiebreak is
+    (count DESC, pair string ASC) over pure-ASCII symbols; counts are
+    exact integers.  MERGE APPLICATION is defined as TWO passes of
+    non-overlapping left-to-right ``replace`` of ``' a b '`` within the
+    space-joined, space-delimited symbol string — both engines share
+    those exact semantics, making the whole learned merge table
+    value-checkable.  (Canonical greedy BPE differs only on 6+-symbol
+    same-symbol runs, where single-pass replace cannot see occurrences
+    that share a delimiter space; the second pass merges the isolated
+    leftovers pass 1 strands, and any residual undercount simply
+    defers that pair to a later round — a deterministic, documented
+    variant, pinned by a planted-corpus golden test.)
+
+    Output: the learned merge table itself — (merge_rank, left_sym,
+    right_sym, merged, cnt), K rows; empty corpus → 0 rows on both
+    engines (LIMIT 1 of an empty pair table selects nothing and the
+    cross join annihilates the vocabulary, identically in SQL).
+
+    The per-round argmax is COLLECTED as a 1-row literal (the
+    sort_global collected-boundary class: metadata-sized by
+    construction, documented bound = exactly 1 row per round).  That
+    keeps the vocabulary lineage a LINEAR chain of in-row replaces —
+    round r's pair count replays r-1 replace layers over |vocab| rows,
+    trivial — so the whole training runs the one corpus-scale word
+    count plus K vocabulary-sized argmax jobs, with no per-round
+    checkpoint and no crossJoin."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+        ).alias("seq"),
+        "freq",
+    ).localCheckpoint()  # the ONE corpus-scale job; everything after
+    # operates on |vocab| rows
+
+    merges: list[tuple] = []
+    for r in range(1, _BPE_MERGES + 1):
+        syms_t = cur.select(
+            F.split(F.trim(F.col("seq")), " ").alias("syms"), "freq"
+        ).filter(F.size("syms") >= 2)
+        pairs = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+        )
+        pc = (
+            syms_t.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).first()
+        if best is None:  # vocabulary exhausted / empty corpus
+            break
+        pair, cnt = best["pair"], int(best["cnt"])
+        left, right = pair.split(" ")
+        merges.append((r, left, right, left + right, cnt))
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {left}{right} ")
+        cur = cur.select(
+            F.replace(F.replace("seq", pat, rep), pat, rep).alias("seq"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
+        "merged STRING, cnt BIGINT",
+    )

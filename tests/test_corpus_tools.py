@@ -197,3 +197,49 @@ def test_sample_balanced_caps_each_language(spark, sf_dir):
     # determinism: the same rows come back on a re-run
     again = {(r["doc_id"], r["lang"]) for r in QUERIES["sample_balanced"](spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["lang"]) for r in rows}
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_tokenizer_train_bpe_learns_classic_merges(spark, tmp_path):
+    # the textbook BPE corpus: low*5 lower*2 newest*6 widest*3.
+    # Hand-derived merge table under (count DESC, pair ASC) tiebreak:
+    # es(9) est(9) lo(7) low(7) ew(6) ewest(6) newest(6) dest(3)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        ["low " * 5 + "lower " * 2, "newest " * 6 + "widest " * 3],
+    )
+    rows = QUERIES["tokenizer_train_bpe"](spark, sf).collect()
+    got = [(r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"]) for r in rows]
+    assert sorted(got) == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+        (5, "e", "w", "ew", 6),
+        (6, "ew", "est", "ewest", 6),
+        (7, "n", "ewest", "newest", 6),
+        (8, "d", "est", "dest", 3),
+    ]
+
+
+def test_tokenizer_train_bpe_same_symbol_run_two_pass_semantics(spark, tmp_path):
+    # 'aaaaaa' x4: round 1 counts (a,a) = 5 occurrences x 4 words = 20.
+    # Two-pass non-overlapping replace leaves [aa, a, aa, a] (the
+    # documented variant vs canonical greedy's [aa, aa, aa]), so round 2
+    # must see (aa, a) with count 2 x 4 = 8 — this test pins exactly the
+    # defined merge-application semantics on the Spark side (the oracle
+    # replays the same two passes in SQL, checked in the global sweep).
+    sf = _write_docs(spark, tmp_path, ["aaaaaa " * 4])
+    rows = {r["merge_rank"]: r for r in QUERIES["tokenizer_train_bpe"](spark, sf).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1["left_sym"], r1["right_sym"], r1["cnt"]) == ("a", "a", 20)
+    assert (r2["left_sym"], r2["right_sym"], r2["cnt"]) == ("aa", "a", 8)

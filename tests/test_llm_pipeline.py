@@ -452,3 +452,40 @@ def test_minhash_certificate_survives_null_text_docs(spark, tmp_path):
     assert all(r["lsh_consistent"] for r in out.values())
     # the null docs are singletons on both sides
     assert out[3]["n_dups"] == 0 and out[4]["n_dups"] == 0
+
+
+def test_semantic_dedup_planted_exact_duplicates(spark, tmp_path):
+    # four bit-identical vectors at ids 0..3: identical vectors get
+    # identical (rounded) centroid dots, so the deterministic argmax
+    # puts them in the SAME cell whatever the learned centroids are;
+    # cosine 1.0 >= threshold, so 1..3 must prune to dup_of=0 and id 0
+    # (no lower-id mate anywhere) must survive.  Fillers are random
+    # low-magnitude noise vectors in other directions.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dup = rng.standard_normal(64).astype("float32")
+    rows = [(i, (dup).tolist(), 0) for i in range(4)]
+    for i in range(4, 40):
+        rows.append((i, rng.standard_normal(64).astype("float32").tolist(), 1))
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = {r["vec_id"]: r for r in QUERIES["dedup_semantic"](spark, str(tmp_path)).collect()}
+    assert len(out) == 40
+    assert out[0]["keep"] is True
+    for i in (1, 2, 3):
+        assert out[i]["keep"] is False
+        assert out[i]["dup_of"] == 0   # cos ties at 1.0 -> min candidate id
+        assert out[i]["max_cos"] == 1.0
+        assert out[i]["cell"] == out[0]["cell"]
+    # structural invariants over every row
+    from task_mapreduce_spark.operators.llm_extras import _SEMDEDUP_T
+
+    for r in out.values():
+        if not r["keep"]:
+            assert r["dup_of"] < r["vec_id"]
+            assert r["max_cos"] >= _SEMDEDUP_T
+        else:
+            assert r["dup_of"] is None and r["max_cos"] is None
