@@ -551,6 +551,13 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     form with a pointer-jumping fallback, over ``nodes`` (doc_id) and an
     undirected ``edges`` (a, b) pair list (symmetrized here).
 
+    Incremental use (dedup_cluster_incremental) needs no seed
+    parameter: a prior labeling is folded in by CONTRACTING the new
+    edges through it (endpoint → prior label) and running this same
+    kernel on the label-level graph, whose node ids are the prior
+    labels themselves — identity initialization is then exactly
+    "start from yesterday's components".
+
     Each round is one equi-join + one min-agg — the standard
     distributed CC.  Delta form: only labels that improved last round
     push, so per-round join input is ∝ |changed|; the edge list is

@@ -247,3 +247,35 @@ def test_incremental_planted_decisions(spark, tmp_path):
     assert out[34]["is_new"] and out[34]["dup_of"] is None
     assert not out[35]["is_new"] and out[35]["dup_of"] == 34
     assert out[47]["is_new"] and out[47]["n_dup_partners"] == 0
+
+
+def test_cluster_incremental_batch_doc_bridges_two_base_components(spark, tmp_path):
+    # Token design: S (10 shared) + A (1) + B (1); T1 = S+A, T2 = S+B,
+    # X = S+A+B.  J(X,T1) = J(X,T2) = 11/12 >= 0.9 but
+    # J(T1,T2) = 10/12 < 0.9 — so the BASE graph has two disjoint
+    # components {0,1} (text T1) and {2,3} (text T2), and only the
+    # arriving batch doc 5 (md5(5) % 10 == 0 under the portable hash)
+    # bridges them.  The contracted merge must relabel ALL FIVE docs to
+    # the global min id, and the result must equal the from-scratch
+    # operator on the same corpus.
+    S = [f"s{i}" for i in range(10)]
+    t1 = " ".join(S + ["aa"])
+    t2 = " ".join(S + ["bb"])
+    tx = " ".join(S + ["aa", "bb"])
+    rows = [(0, t1), (1, t1), (2, t2), (3, t2), (5, tx)]
+    # far-away filler docs (disjoint vocab) so the graph isn't trivial
+    rows += [(i, f"z{i}a z{i}b z{i}c z{i}d") for i in (4, 6, 7)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    inc = {r["doc_id"]: r["component_id"]
+           for r in QUERIES["dedup_cluster_incremental"](spark, sf).collect()}
+    assert {inc[i] for i in (0, 1, 2, 3, 5)} == {0}
+    for i in (4, 6, 7):
+        assert inc[i] == i
+    full = {r["doc_id"]: r["component_id"]
+            for r in QUERIES["dedup_cluster_cc"](spark, sf).collect()}
+    assert inc == full
