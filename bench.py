@@ -5,8 +5,13 @@ Each query is fully materialized through the `noop` sink (forces the
 complete physical plan — unlike count(), which lets Catalyst prune the
 projection).  Prints exactly ONE JSON line:
 
-    {"queries": {<key>: <sec>, ...}, "metric": "total_wall",
-     "value": <sum>, "unit": "sec", "sf": <sf>}
+    {"queries": {<key>: <sec>, ...},
+     "calibration": {"start": s, "mid": s, "end": s},
+     "metric": "total_wall", "value": <sum>, "unit": "sec", "sf": <sf>}
+
+``calibration`` re-times the warm flagship query at sweep
+start/middle/end: if those three differ materially, the total moved
+with ambient host load, not with the code.
 
 The driver records only the LAST ~2 KB of stdout (a tail capture), so
 the line is laid out to survive head-truncation: per-key timings come
@@ -47,8 +52,22 @@ def main() -> int:
 
     _materialize(QUERIES["tpch_q1"](spark, sf_dir))  # warm-up, untimed
 
+    def _calibrate() -> float:
+        # ambient-load probe: the SAME warm query timed at sweep
+        # start/middle/end.  Identical code swung cross-round totals
+        # 135->148 s on this host purely from co-tenant load; the
+        # start/mid/end ratios let a reader separate ambient drift
+        # from real per-key regressions without interleaved A/B runs.
+        t0 = time.time()
+        _materialize(QUERIES["tpch_q1"](spark, sf_dir))
+        return round(time.time() - t0, 3)
+
+    keys = sorted(QUERIES)
+    calibration: dict[str, float] = {"start": _calibrate()}
     timings: dict[str, float] = {}
-    for key in sorted(QUERIES):
+    for i, key in enumerate(keys):
+        if i == len(keys) // 2:
+            calibration["mid"] = _calibrate()
         t0 = time.time()
         try:
             _materialize(QUERIES[key](spark, sf_dir))
@@ -56,6 +75,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"BENCH ERROR {key}: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[key] = -1.0
+    calibration["end"] = _calibrate()
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     # fastest first, errors (-1) last: the tail capture must always
@@ -63,6 +83,7 @@ def main() -> int:
     ordered = dict(sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1])))
     print(json.dumps({
         "queries": ordered,
+        "calibration": calibration,
         "metric": "total_wall",
         "value": total,
         "unit": "sec",

@@ -719,27 +719,16 @@ _ANN_N_QUERIES = 5
 
 def _hyperplanes(dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane POOL (fixed seed → same
-    values every run, every engine); :func:`_n_planes` decides how many
-    of the pool are active for a given corpus size."""
+    values every run, every engine).  The ACTIVE count for an N-vector
+    corpus is np = clamp(ceil(log2(N / target_bucket)), 4, 16) —
+    bucket population halves per plane, so this keeps E[bucket size]
+    near the target instead of freezing a fixture-sized constant.
+    Both sim_search_ann and its oracle evaluate that formula from
+    count(*) INSIDE the query (1-row broadcast / scalar subquery), so
+    the engines always agree on the active planes at any scale factor
+    and no job runs at plan-build time."""
     rng = np.random.RandomState(42)
     return rng.standard_normal((_ANN_MAX_PLANES, dim)).round(6).tolist()
-
-
-def _n_planes(n: int) -> int:
-    """Active plane count for an N-vector corpus:
-    clamp(ceil(log2(N / target_bucket)), 4, 16) — bucket population
-    halves per plane, so this keeps E[bucket size] near the target
-    instead of freezing a fixture-sized constant.  The oracle evaluates
-    the SAME formula in SQL from count(*), so both engines always agree
-    on the active planes at any scale factor."""
-    import math
-
-    if n <= _ANN_TARGET_BUCKET:
-        return _ANN_MIN_PLANES
-    return min(
-        _ANN_MAX_PLANES,
-        max(_ANN_MIN_PLANES, math.ceil(math.log2(n / _ANN_TARGET_BUCKET))),
-    )
 
 
 def _ann_oracle() -> str:
@@ -804,41 +793,81 @@ def sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a narrow projection) where np = clamp(ceil(log2(N/64)), 4, 16) —
     derived from the corpus size so the expected bucket population
     stays near 64 at ANY scale factor instead of freezing a
-    fixture-sized constant (:func:`_n_planes`; the oracle evaluates
-    the same formula from count(*)).  Probes search their own bucket
+    fixture-sized constant (the oracle evaluates the same formula
+    from count(*)).  Probes search their own bucket
     plus the np hamming-1 neighbors (multiprobe), so each task scores
     ~(np+1)/2^np of the corpus instead of all of it.  Output schema
     matches sim_search_topk; recall vs the exact operator is asserted
     in tests/test_llm_pipeline.py, and because the plane pool is a
     fixed constant the whole approximate pipeline — bucketing,
     multiprobe, scoring, ranking — is value-checked against the DuckDB
-    oracle, not just rows-counted."""
+    oracle, not just rows-counted.
+
+    The active plane count rides IN the frame (1-row count aggregate,
+    broadcast cross join — the IVF stride pattern), so building the
+    DataFrame runs NO job: all 16 pool bits are emitted gated on
+    ``i < np``, with the projection inside the gated CASE branch so
+    inactive planes cost nothing per row, and the multiprobe flip list
+    is filtered to the active planes the same way."""
     emb = load(spark, sf_dir, "embeddings")
-    # metadata-sized action (parquet count pushdown): the ACTIVE plane
-    # count must be known at plan-build time to emit that many sign
-    # bits; the oracle recomputes the same formula from count(*).
-    planes = _hyperplanes()[: _n_planes(emb.count())]
-    e = _normed_vectors(emb)
+    planes = _hyperplanes()
+    # np = clamp(ceil(log2(N/64)), 4, 16) as a COLUMN — the same
+    # formula the oracle computes in SQL from count(*)
+    params = emb.agg(F.count(F.lit(1)).alias("n")).select(
+        F.when(F.col("n") <= _ANN_TARGET_BUCKET, F.lit(_ANN_MIN_PLANES))
+        .otherwise(
+            F.least(
+                F.lit(_ANN_MAX_PLANES),
+                F.greatest(
+                    F.lit(_ANN_MIN_PLANES),
+                    F.ceil(
+                        F.log2(F.col("n") / F.lit(float(_ANN_TARGET_BUCKET)))
+                    ).cast("int"),
+                ),
+            )
+        )
+        .cast("int")
+        .alias("np")
+    )
+    e = _normed_vectors(emb).crossJoin(F.broadcast(params))
     bucket = None
     for i, p in enumerate(planes):
         proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in p]))
         # sign of the ROUNDED projection — keeps the bucket id identical
-        # across engines/SIMD fold orders (see _ann_oracle)
-        bit = F.when(F.round(proj, 6) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # across engines/SIMD fold orders (see _ann_oracle).  The gate
+        # comes FIRST and the projection sits in the nested branch:
+        # CaseWhen evaluates lazily, so inactive pool planes never
+        # compute their 64-wide dot.
+        bit = (
+            F.when(
+                F.lit(i) < F.col("np"),
+                F.when(F.round(proj, 6) > 0, F.lit(1 << i)).otherwise(F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+        )
         bucket = bit if bucket is None else bucket + bit
-    e = e.select("vec_id", "v", "nrm", bucket.cast("int").alias("bucket"))
+    e = e.select("vec_id", "v", "nrm", "np", bucket.cast("int").alias("bucket"))
 
+    # own bucket (sentinel i=-1, always kept) + the np active
+    # hamming-1 flips, filtered in-row against the np column
+    cand = F.array(
+        F.struct(F.lit(-1).alias("i"), F.col("bucket").alias("b")),
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).alias("b"),
+            )
+            for i in range(_ANN_MAX_PLANES)
+        ],
+    )
     probes = e.filter(F.col("vec_id") < _ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
         F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(len(planes))
-                ],
+            F.transform(
+                F.filter(cand, lambda s: s["i"] < F.col("np")),
+                lambda s: s["b"],
             )
         ).alias("bucket"),
     )

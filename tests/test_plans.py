@@ -150,6 +150,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "histogram_equidepth",  # 1-row percentile-bounds crossJoin
         "profile_columns",      # 1-row NDV-aggregate crossJoin
         "sim_search_ivf",       # √N centroid ROWS broadcast (≈16 MB at 1 B vecs)
+        "sim_search_ann",       # 1-row active-plane-count (np) crossJoin
+        "dedup_semantic",       # shares sim_search_ivf's centroid broadcast
         "quality_perplexity",   # 1-row corpus-token-count crossJoin
         "join_bloom",           # 1-row 2 KB bloom-bitmap crossJoin
         "text_bm25",            # 1-row corpus-stats (N, avgdl) crossJoin

@@ -433,3 +433,71 @@ def test_foreachbatch_cdc_merge_matches_batch_upsert(spark, sf_dir):
     }
     got = {k: (v[0], v[2]) for k, v in store.items()}
     assert got == batch
+
+
+def test_foreachbatch_upsert_recovers_from_mid_stream_crash(spark, sf_dir, tmp_path):
+    """Crash-recovery proof for the stream_foreachbatch_upsert
+    contract: the exactly-once claim rests on idempotent per-batch
+    overwrite, so kill the query AFTER batch 1's partial hits disk but
+    BEFORE its offset commits, restart from the SAME checkpoint, and
+    require the replayed run to converge to the batch answer with no
+    duplicate and no loss (the retried batch id rewrites its own
+    partial)."""
+    from pyspark.sql.window import Window
+
+    from task_mapreduce_spark.tables import load
+
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src, part_root, ckpt = f"{tmp_path}/src", f"{tmp_path}/part", f"{tmp_path}/ckpt"
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", us.alias("us"), "user_id", "value"
+    )
+    purchases.repartition(3).write.mode("overwrite").parquet(src)
+    schema = "event_id LONG, us LONG, user_id LONG, value DOUBLE"
+
+    def latest_per_user(df):
+        w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+        return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    def run(crash_at):
+        def merge(batch_df, batch_id):
+            latest_per_user(batch_df).write.mode("overwrite").parquet(
+                f"{part_root}/batch={batch_id}"
+            )
+            if batch_id == crash_at:
+                raise RuntimeError("injected crash: partial written, offset NOT committed")
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        except Exception:
+            pass  # the injected crash surfaces here on the failing run
+        return q
+
+    q1 = run(crash_at=1)
+    assert q1.exception() is not None, "the injected crash must kill the query"
+    assert os.path.isdir(f"{part_root}/batch=1"), "half-committed batch must be on disk"
+
+    q2 = run(crash_at=None)
+    assert q2.exception() is None, q2.exception()
+    parts = sorted(d for d in os.listdir(part_root) if d.startswith("batch="))
+    assert parts == ["batch=0", "batch=1", "batch=2"]  # batch 1 replayed once, in place
+
+    folded = latest_per_user(
+        spark.read.schema(schema).parquet(*[f"{part_root}/{d}" for d in parts])
+    )
+    got = {r["user_id"]: (r["event_id"], r["value"]) for r in folded.collect()}
+    want = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in latest_per_user(purchases).collect()
+    }
+    assert got == want
