@@ -553,7 +553,7 @@ def _bpe_merge_ctes(k: int) -> str:
     passes define the merge-application semantics)."""
     ctes = [
         """w0 AS (
-      SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
+      SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
              CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
             FROM documents)
@@ -578,7 +578,7 @@ def _bpe_merge_ctes(k: int) -> str:
         )
         ctes.append(
             f"""w{r} AS (
-      SELECT replace(replace(seq,
+      SELECT w, replace(replace(seq,
                  ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
                  ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
                AS seq, freq
@@ -613,10 +613,8 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row ``transform(sequence(...))`` adjacent-pair expansion
     (size-preserving, the safe explode shape) feeding one hash-agg;
     the argmax is a global top-1 — TakeOrderedAndProject, O(1) state
-    per partition — cross-joined back as a broadcast 1-row frame (the
-    repo's metadata-row pattern); each round ``localCheckpoint``s the
-    merged vocabulary so lineage stays one round deep (the
-    ``_min_label_cc`` iterative discipline).
+    per partition — collected as a 1-row literal per round (see the
+    final paragraph).
 
     Determinism / portability: words are the ``[a-z]+`` runs of
     lowercased text (both regex engines agree); the argmax tiebreak is
@@ -645,6 +643,21 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivial — so the whole training runs the one corpus-scale word
     count plus K vocabulary-sized argmax jobs, with no per-round
     checkpoint and no crossJoin."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
+        "merged STRING, cnt BIGINT",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The shared BPE training loop (see tokenizer_train_bpe for the
+    full shape/portability argument): returns (merges, vocab) where
+    merges is the K-row learned table as Python tuples
+    (rank, left, right, merged, cnt) and vocab is the final
+    (w, seq, freq) frame with every learned merge applied — the
+    word-level subword segmentation tokenizer_apply_bpe joins against."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -656,6 +669,7 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     cur = words.select(
+        "w",
         F.concat(
             F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
         ).alias("seq"),
@@ -685,11 +699,74 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((r, left, right, left + right, cnt))
         pat, rep = F.lit(f" {pair} "), F.lit(f" {left}{right} ")
         cur = cur.select(
+            "w",
             F.replace(F.replace("seq", pat, rep), pat, rep).alias("seq"),
             "freq",
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_rank BIGINT, left_sym STRING, right_sym STRING, "
-        "merged STRING, cnt BIGINT",
+    return merges, cur
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """Tokenize-with-the-learned-merges oracle: the SAME unrolled
+    training CTEs (shared generator, so the two keys can never learn
+    different merge tables), then per-doc token totals from the final
+    vocabulary's segmentations."""
+    train = _bpe_merge_ctes(k)
+    ctes = train[len("WITH ") : train.index("\n    SELECT CAST(1")]
+    return f"""
+    WITH {ctes},
+    vocab AS (
+      SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tok
+      FROM w{k}
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM toks JOIN vocab USING (w)
+    GROUP BY doc_id
+    """
+
+
+@register("tokenizer_apply_bpe", oracle=_bpe_apply_oracle(_BPE_MERGES))
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the LEARNED merge table — the apply
+    half of tokenizer_train_bpe (train → apply is the composition
+    every tokenizer deployment runs; same pattern as the dedup/ANN
+    eval keys composing their registered arms).  Per document: number
+    of pretokenizer words and total subword tokens after the K learned
+    merges — the real model-token budget, where text_tokenize_bpe's
+    regex classes were only the cheap proxy.
+
+    Shape: the final vocabulary (word → subword count) comes out of
+    the shared :func:`_bpe_train` loop at |vocab| rows; the corpus
+    tokenizes by ONE equi-join of the exploded word stream against
+    that table — the word-count shuffle, with the join build side
+    vocabulary-sized (AQE broadcasts it at fixture scale; at 100 TB a
+    100M-word vocabulary rides an ordinary keyed shuffle).  Docs with
+    zero pretokenizer words produce no row, identically in both
+    engines (explode/unnest of an empty array drops the doc).  The
+    oracle re-learns the merges through the SAME unrolled CTE
+    generator, so train and apply can never disagree on the table."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    v = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seq")), " ")).cast("bigint").alias("n_tok"),
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    )
+    return (
+        toks.join(v, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+        )
     )

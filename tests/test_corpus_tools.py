@@ -243,3 +243,17 @@ def test_tokenizer_train_bpe_same_symbol_run_two_pass_semantics(spark, tmp_path)
     r1, r2 = rows[1], rows[2]
     assert (r1["left_sym"], r1["right_sym"], r1["cnt"]) == ("a", "a", 20)
     assert (r2["left_sym"], r2["right_sym"], r2["cnt"]) == ("aa", "a", 8)
+
+
+def test_tokenizer_apply_bpe_classic_corpus_token_budget(spark, tmp_path):
+    # after the 8 hand-derived merges (see the trainer golden):
+    # low -> [low] (1), lower -> [low, e, r] (3),
+    # newest -> [newest] (1), widest -> [w, i, dest] (3)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        ["low " * 5 + "lower " * 2, "newest " * 6 + "widest " * 3],
+    )
+    out = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in QUERIES["tokenizer_apply_bpe"](spark, sf).collect()}
+    assert out == {0: (7, 5 * 1 + 2 * 3), 1: (9, 6 * 1 + 3 * 3)}
