@@ -1365,3 +1365,150 @@ def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resample + gap-fill + linear interpolation (the hypertable read side)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_US = 3_600_000_000  # 1-hour buckets (integer µs — exact div)
+
+
+@register(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_RESAMPLE_US} AS bkt,
+             value
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS n_events,
+             round({sql_dsum("value")} / COUNT(*), 6) AS avg_value
+      FROM b GROUP BY event_type, bkt
+    ),
+    spine AS (
+      SELECT event_type, unnest(range(MIN(bkt), MAX(bkt) + 1)) AS bkt
+      FROM b GROUP BY event_type
+    ),
+    g AS (
+      SELECT s.event_type, s.bkt, a.n_events, a.avg_value,
+             max(CASE WHEN a.n_events IS NOT NULL THEN s.bkt END)
+               OVER (PARTITION BY s.event_type ORDER BY s.bkt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_b,
+             min(CASE WHEN a.n_events IS NOT NULL THEN s.bkt END)
+               OVER (PARTITION BY s.event_type ORDER BY s.bkt
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_b
+      FROM spine s
+      LEFT JOIN agg a ON a.event_type = s.event_type AND a.bkt = s.bkt
+    )
+    SELECT g.event_type, g.bkt AS bucket_hr,
+           CAST(COALESCE(g.n_events, 0) AS BIGINT) AS n_events,
+           g.avg_value,
+           CASE WHEN g.avg_value IS NOT NULL THEN g.avg_value
+                ELSE round(p.avg_value
+                           + (n.avg_value - p.avg_value)
+                             * (g.bkt - g.prev_b) / (g.next_b - g.prev_b), 6)
+           END AS value_filled,
+           g.avg_value IS NULL AS is_gap
+    FROM g
+    LEFT JOIN agg p ON p.event_type = g.event_type AND p.bkt = g.prev_b
+    LEFT JOIN agg n ON n.event_type = g.event_type AND n.bkt = g.next_b
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event hypertable to a dense hourly grid per
+    event_type: per-bucket count + exact-decimal mean, EMPTY buckets
+    gap-filled with linear interpolation between their nearest present
+    neighbors — the timescale `time_bucket_gapfill` + `interpolate`
+    read-side idiom rollup_hypertable's write side pairs with, and the
+    resampling every time-series feature pipeline runs before model
+    windows.
+
+    Spine endpoints are each type's min/max PRESENT bucket, so every
+    gap has both neighbors by construction (no edge cases to diverge
+    on).  Neighbor discovery is windowed max/min over `CASE WHEN
+    present THEN bkt END` — standard aggregates skip NULLs in both
+    engines, so no IGNORE-NULLS syntax (a DuckDB build-variance risk)
+    is needed; neighbor VALUES come from two equi-joins back to the
+    present-bucket aggregate.  Interpolation arithmetic is identical
+    text on both sides over identically-rounded inputs: round-6 means,
+    long/long `div`-bucket indices, one `(gap position)/(gap length)`
+    double division, round 6 — bit-stable.
+
+    100 TB shape: the per-bucket aggregate is the rollup_hypertable
+    map-side-partial hash-agg (the only corpus-scale stage); the
+    spine, windows, and joins all operate on |types| × |hours| rows —
+    metadata-sized relative to events at any horizon (a century of
+    hours is <1M rows per type), partitioned by event_type so no
+    single-task window over data exists."""
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_RESAMPLE_US}").alias(
+            "bkt"
+        ),
+        "value",
+    )
+    agg = b.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(dsum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
+    )
+    spine = (
+        b.groupBy("event_type")
+        .agg(F.min("bkt").alias("lo"), F.max("bkt").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bkt"),
+        )
+    )
+    g = spine.join(agg, ["event_type", "bkt"], "left")
+    present_b = F.when(F.col("n_events").isNotNull(), F.col("bkt"))
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    g = g.withColumn("prev_b", F.max(present_b).over(wprev)).withColumn(
+        "next_b", F.min(present_b).over(wnext)
+    )
+    p = agg.select(
+        F.col("event_type").alias("pt"),
+        F.col("bkt").alias("pb"),
+        F.col("avg_value").alias("pav"),
+    )
+    n = agg.select(
+        F.col("event_type").alias("nt"),
+        F.col("bkt").alias("nb"),
+        F.col("avg_value").alias("nav"),
+    )
+    j = g.join(
+        p, (F.col("event_type") == F.col("pt")) & (F.col("prev_b") == F.col("pb")), "left"
+    ).join(
+        n, (F.col("event_type") == F.col("nt")) & (F.col("next_b") == F.col("nb")), "left"
+    )
+    interp = F.round(
+        F.col("pav")
+        + (F.col("nav") - F.col("pav"))
+        * (F.col("bkt") - F.col("prev_b"))
+        / (F.col("next_b") - F.col("prev_b")),
+        6,
+    )
+    return j.select(
+        "event_type",
+        F.col("bkt").alias("bucket_hr"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "avg_value",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .otherwise(interp)
+        .alias("value_filled"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )

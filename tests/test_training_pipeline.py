@@ -275,3 +275,36 @@ def test_pattern_match_order_and_forbidden_symbol(spark, tmp_path):
     assert not out[2]["matched"] and out[2]["seq"] == "vecp"
     assert not out[3]["matched"] and out[3]["seq"] == "pcv"
     assert out[4]["matched"] and out[4]["seq"] == "vcp"
+
+
+def test_resample_gapfill_planted_gaps_interpolate_linearly(spark, tmp_path):
+    # type "a": bucket 0 holds values {1.0, 3.0} (avg 2.0), bucket 3
+    # holds {8.0}; buckets 1-2 are gaps on the dense spine and must
+    # interpolate to 2 + 6*(1/3) = 4.0 and 2 + 6*(2/3) = 6.0.
+    # type "b": one present bucket -> a 1-row spine, no gaps.
+    data = [
+        (1, 0, 1, "a", 1.0, "{}"),
+        (2, 10, 1, "a", 3.0, "{}"),
+        (3, 3 * 3600, 2, "a", 8.0, "{}"),
+        (4, 7 * 3600, 3, "b", 5.0, "{}"),
+    ]
+    rows = [
+        (eid, int(t * 1_000_000_000), uid, et, v, p)
+        for eid, t, uid, et, v, p in data
+    ]
+    spark.createDataFrame(rows, _EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        (r["event_type"], r["bucket_hr"]): r
+        for r in QUERIES["events_resample_gapfill"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 4 + 1  # dense spine 0..3 for "a", single bucket for "b"
+    a0, a1, a2, a3 = (out[("a", i)] for i in range(4))
+    assert (a0["n_events"], a0["avg_value"], a0["value_filled"], a0["is_gap"]) == (2, 2.0, 2.0, False)
+    assert (a1["n_events"], a1["avg_value"], a1["value_filled"], a1["is_gap"]) == (0, None, 4.0, True)
+    assert (a2["n_events"], a2["avg_value"], a2["value_filled"], a2["is_gap"]) == (0, None, 6.0, True)
+    assert (a3["n_events"], a3["avg_value"], a3["value_filled"], a3["is_gap"]) == (1, 8.0, 8.0, False)
+    b = out[("b", 7)]
+    assert (b["n_events"], b["value_filled"], b["is_gap"]) == (1, 5.0, False)
