@@ -86,6 +86,9 @@ TS_KEYS = [
     # and reorder seq) — exactly what this probe exists to exercise
     "events_pattern_match",
     "sessions_concurrency",
+    # bucket index = unix_micros(cast(ts_ntz as timestamp)) div 1h —
+    # a non-UTC session shifts every bucket boundary (round 7)
+    "events_resample_gapfill",
 ]
 
 # keys sensitive to the OTHER runtime-settable semantics a hostile

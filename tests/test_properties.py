@@ -298,3 +298,57 @@ def test_min_label_cc_matches_union_find(spark, edges):
         for r in _min_label_cc(nodes, edf).collect()
     }
     assert got == want
+
+
+_BPE_WORDS = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=15
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_BPE_WORDS)
+def test_tokenizer_train_bpe_matches_pure_python_reference(spark, tmp_path, words):
+    # independent implementation of the DOCUMENTED semantics (weighted
+    # pair counts, (count DESC, pair ASC) argmax, TWO-PASS
+    # non-overlapping LTR replace — Python str.replace shares exactly
+    # those scan semantics with Spark's and DuckDB's `replace`).  This
+    # breaks the common-mode risk of the oracle check: the SQL twin is
+    # generated by the repo's own CTE builder, this reference is not.
+    # The "ab" alphabet maximizes shared-boundary/same-symbol runs, the
+    # one regime where merge-application variants can diverge.
+    import collections
+
+    from task_mapreduce_spark.registry import QUERIES
+
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    freq = collections.Counter(words)
+    seqs = {w: " " + " ".join(w) + " " for w in freq}
+    want = []
+    for r in range(1, 9):
+        pc = collections.Counter()
+        for w, f in freq.items():
+            syms = seqs[w].split()
+            for i in range(len(syms) - 1):
+                pc[syms[i] + " " + syms[i + 1]] += f
+        if not pc:
+            break
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        want.append((r, a, b, a + b, cnt))
+        pat, rep = f" {pair} ", f" {a}{b} "
+        seqs = {w: s.replace(pat, rep).replace(pat, rep) for w, s in seqs.items()}
+
+    got = sorted(
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
+        for r in QUERIES["tokenizer_train_bpe"](spark, str(tmp_path)).collect()
+    )
+    assert got == want
