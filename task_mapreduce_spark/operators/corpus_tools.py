@@ -544,8 +544,10 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
-def _bpe_merge_ctes(k: int) -> str:
-    """The K unrolled merge rounds as DuckDB CTEs.  Every primitive is
+def _bpe_round_ctes(k: int) -> tuple[list[str], list[str]]:
+    """The K unrolled merge rounds as DuckDB CTEs: returns (ctes,
+    per-round merge-row SELECTs) so the trainer and apply oracles
+    compose the SAME chain without string surgery.  Every primitive is
     engine-portable: regexp char-splitting, in-row adjacent-pair
     expansion, exact integer counts, (count DESC, pair ASC) argmax, and
     the TWO-PASS non-overlapping left-to-right `replace` both engines
@@ -592,10 +594,15 @@ def _bpe_merge_ctes(k: int) -> str:
            replace(pair, ' ', '') AS merged,
            CAST(cnt AS BIGINT) AS cnt FROM b{r}"""
         )
+    return ctes, selects
+
+
+def _bpe_train_oracle(k: int) -> str:
+    ctes, selects = _bpe_round_ctes(k)
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
 
 
-@register("tokenizer_train_bpe", oracle=_bpe_merge_ctes(_BPE_MERGES))
+@register("tokenizer_train_bpe", oracle=_bpe_train_oracle(_BPE_MERGES))
 def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE BPE tokenizer training: learn the first ``_BPE_MERGES``
     merge rules from the corpus (the standard LLM-pipeline stage
@@ -711,10 +718,10 @@ def _bpe_apply_oracle(k: int) -> str:
     training CTEs (shared generator, so the two keys can never learn
     different merge tables), then per-doc token totals from the final
     vocabulary's segmentations."""
-    train = _bpe_merge_ctes(k)
-    ctes = train[len("WITH ") : train.index("\n    SELECT CAST(1")]
+    ctes, _ = _bpe_round_ctes(k)
+    chain = ",\n    ".join(ctes)
     return f"""
-    WITH {ctes},
+    WITH {chain},
     vocab AS (
       SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tok
       FROM w{k}

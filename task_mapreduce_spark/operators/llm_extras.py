@@ -1813,6 +1813,114 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining for retrieval/embedding training
+# ---------------------------------------------------------------------------
+
+_HARDNEG_K = 5
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH {_IVF_CELLS_CTES},
+    l AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    nv AS (
+      SELECT c.vec_id, c.cell, e.v, l.label
+      FROM cells c JOIN e USING (vec_id) JOIN l USING (vec_id)
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label, b.vec_id AS nb_id, b.label AS nb_label,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM nv a JOIN nv b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id AND a.label <> b.label
+    )
+    SELECT vec_id, label, nb_id, nb_label, cosine,
+           CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nb_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_HARDNEG_K}
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/retrieval training: for every
+    vector, its top-k most-similar neighbors with a DIFFERENT label —
+    the contrastive-training data op (high-cosine, wrong-class pairs
+    are the negatives that actually move a retrieval loss; random
+    negatives are trivially easy).
+
+    Candidates come from the shared IVF cells (:func:`_ivf_cells` /
+    ``_IVF_CELLS_CTES`` — hash-order √N seeds + one Lloyd step), NOT
+    the label column: hard negatives live across label boundaries, so
+    the blocker must be geometric.  Within-cell scoring carries the
+    sim_join_knn cell-size contract and the same broadcast/round-robin
+    serialize-killer defense; cosine symmetry halves pair work (a < b
+    scored once, both orientations emitted by the size-2 inline-array
+    explode, exactly as in sim_join_knn); the per-vector top-k is a
+    WindowGroupLimit window over the unique (cosine DESC, nb_id)
+    order.  Vectors whose cell holds no other-label mates produce no
+    row, identically in both engines.  The oracle replays seeding,
+    Lloyd refinement, assignment, cross-label scoring and ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _normed_vectors(emb)
+    assigned, _ = _ivf_cells(e)
+    labels = emb.select("vec_id", F.col("label").cast("bigint").alias("label"))
+    nv = assigned.join(labels, "vec_id").localCheckpoint()
+    probe_t, build_t = _cell_join_sides(nv)
+    a = probe_t(
+        nv.select(
+            F.col("vec_id").alias("qa"),
+            F.col("label").alias("la"),
+            F.col("cell").alias("cell_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    b = build_t(
+        nv.select(
+            F.col("vec_id").alias("qb"),
+            F.col("label").alias("lb"),
+            F.col("cell").alias("cell_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    scored = a.join(
+        b,
+        (F.col("cell_a") == F.col("cell_b"))
+        & (F.col("qa") < F.col("qb"))
+        & (F.col("la") != F.col("lb")),
+    ).select("qa", "la", "qb", "lb", cos.alias("cosine"))
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("qa").alias("q"), F.col("la").alias("l"),
+                    F.col("qb").alias("n"), F.col("lb").alias("nl"),
+                ),
+                F.struct(
+                    F.col("qb").alias("q"), F.col("lb").alias("l"),
+                    F.col("qa").alias("n"), F.col("la").alias("nl"),
+                ),
+            )
+        ).alias("p"),
+        "cosine",
+    ).select(
+        F.col("p.q").alias("vec_id"),
+        F.col("p.l").alias("label"),
+        F.col("p.n").alias("nb_id"),
+        F.col("p.nl").alias("nb_label"),
+        "cosine",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _HARDNEG_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup: semantic (SemDeDup-style cluster-then-prune over embeddings)
 # ---------------------------------------------------------------------------
 

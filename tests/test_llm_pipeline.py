@@ -489,3 +489,20 @@ def test_semantic_dedup_planted_exact_duplicates(spark, tmp_path):
             assert r["max_cos"] >= _SEMDEDUP_T
         else:
             assert r["dup_of"] is None and r["max_cos"] is None
+
+
+def test_hard_negatives_are_cross_label_and_densely_ranked(spark, sf_dir):
+    from task_mapreduce_spark.operators.llm_extras import _HARDNEG_K
+
+    rows = QUERIES["mine_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    per_vec: dict[int, list] = {}
+    for r in rows:
+        assert r["nb_label"] != r["label"]  # every mined pair crosses labels
+        per_vec.setdefault(r["vec_id"], []).append(r)
+    for vid, rs in per_vec.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _HARDNEG_K
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)

@@ -152,6 +152,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "sim_search_ivf",       # √N centroid ROWS broadcast (≈16 MB at 1 B vecs)
         "sim_search_ann",       # 1-row active-plane-count (np) crossJoin
         "dedup_semantic",       # shares sim_search_ivf's centroid broadcast
+        "mine_hard_negatives",  # shares sim_search_ivf's centroid broadcast
         "quality_perplexity",   # 1-row corpus-token-count crossJoin
         "join_bloom",           # 1-row 2 KB bloom-bitmap crossJoin
         "text_bm25",            # 1-row corpus-stats (N, avgdl) crossJoin
