@@ -494,3 +494,11 @@ def test_basket_pairs_lift_joins_unhinted_but_aqe_broadcast(spark, sf_dir):
         pytest.skip("private queryExecution accessor unavailable")
     assert "SortMergeJoin" not in final
     assert "BroadcastHashJoin" in final
+
+
+def test_hard_negatives_keeps_window_group_limit(spark, sf_dir):
+    require_window_group_limit(spark)
+    # the per-vector top-k must drop rows past rank 5 before the sort
+    # buffer grows — same contract as sim_join_knn's
+    plan = plan_of(spark, sf_dir, "mine_hard_negatives")
+    assert "WindowGroupLimit" in plan
