@@ -777,3 +777,81 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction (top-k TF-IDF terms)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS_K = 5
+
+
+@register(
+    "text_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    dfq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 9) AS tfidf
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= {_KEYWORDS_K}
+    """,
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each doc's top-5 tokens by
+    per-doc TF-IDF — the doc-tagging / weak-labeling pass
+    beside text_bm25 (query-side ranking) and text_tfidf (source-level
+    statistics; this key is PER-DOC granularity, which is what a
+    labeling pipeline consumes).
+
+    Shape: two word-count aggregates over one token explosion (per-doc
+    tf, corpus df — both map-side-partial hash-aggs), the |vocab|-row
+    df table broadcast exactly as text_tfidf's is, the 1-row corpus
+    count cross-joined (metadata-row pattern), and the per-doc top-k a
+    WindowGroupLimit window on the unique (rounded tfidf DESC, token)
+    order — O(k) state per doc at any corpus size.  ln rounded to 9 on
+    both sides (the text_tfidf float discipline)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _KEYWORDS_K)
+    )

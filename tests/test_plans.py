@@ -147,6 +147,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     bnlj_ok = {
         "sim_search_topk",      # 5 probe vectors replicated, corpus streams
         "text_tfidf",           # 1-row corpus-count crossJoin
+        "text_keywords",        # 1-row corpus-count crossJoin (per-doc variant)
         "histogram_equidepth",  # 1-row percentile-bounds crossJoin
         "profile_columns",      # 1-row NDV-aggregate crossJoin
         "sim_search_ivf",       # √N centroid ROWS broadcast (≈16 MB at 1 B vecs)
