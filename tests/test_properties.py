@@ -352,3 +352,105 @@ def test_tokenizer_train_bpe_matches_pure_python_reference(spark, tmp_path, word
         for r in QUERIES["tokenizer_train_bpe"](spark, str(tmp_path)).collect()
     )
     assert got == want
+
+
+_GF_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # event_type
+        st.integers(min_value=0, max_value=12),      # bucket hour
+        st.integers(min_value=0, max_value=10),      # integer value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_GF_ROWS)
+def test_resample_gapfill_matches_pure_python_reference(spark, tmp_path, rows):
+    # independent reference of the documented semantics: per-(type,
+    # bucket) mean, dense spine over present min..max, linear
+    # interpolation between nearest present neighbors.  Compared with
+    # 1e-6 tolerance against the UNROUNDED reference so the assertion
+    # is insensitive to the (documented) round-6 half-up vs banker's
+    # edge while still catching any real formula/window mistake.
+    import collections
+
+    from task_mapreduce_spark.registry import QUERIES
+
+    data = [
+        (i, (b * 3600 + (i % 60)) * 1_000_000_000, 1, et, float(v), "{}")
+        for i, (et, b, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    vals = collections.defaultdict(list)
+    for et, b, v in rows:
+        vals[(et, b)].append(v)
+    want = {}
+    for et in {et for et, _, _ in rows}:
+        bkts = sorted(b for (t, b) in vals if t == et)
+        present = {b: sum(vals[(et, b)]) / len(vals[(et, b)]) for b in bkts}
+        for b in range(bkts[0], bkts[-1] + 1):
+            if b in present:
+                want[(et, b)] = (len(vals[(et, b)]), present[b], False)
+            else:
+                pb = max(x for x in present if x < b)
+                nb = min(x for x in present if x > b)
+                filled = present[pb] + (present[nb] - present[pb]) * (b - pb) / (nb - pb)
+                want[(et, b)] = (0, filled, True)
+
+    got = {
+        (r["event_type"], r["bucket_hr"]): r
+        for r in QUERIES["events_resample_gapfill"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, filled, is_gap) in want.items():
+        r = got[k]
+        assert r["n_events"] == n and r["is_gap"] == is_gap
+        assert abs(r["value_filled"] - filled) <= 1e-6 + 1e-9
+
+
+_CC_DOCS = st.lists(
+    st.sets(st.sampled_from("pqrstuv"), min_size=3, max_size=7),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toksets=_CC_DOCS)
+def test_cluster_incremental_equals_from_scratch_on_random_corpora(
+    spark, tmp_path, toksets
+):
+    # random small token sets over a 7-token alphabet generate dense,
+    # irregular Jaccard graphs; doc_ids 0..n-1 land in batch/base by the
+    # real md5 rule, so contraction paths (batch-batch edges, multi-way
+    # base merges through one batch doc, untouched components) all get
+    # exercised far beyond the planted-bridge example.
+    from task_mapreduce_spark.registry import QUERIES
+
+    rows = [
+        (i, " ".join(sorted(ts)), "en", "s", len(ts)) for i, ts in enumerate(toksets)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+    inc = {r["doc_id"]: r["component_id"]
+           for r in QUERIES["dedup_cluster_incremental"](spark, sf).collect()}
+    full = {r["doc_id"]: r["component_id"]
+            for r in QUERIES["dedup_cluster_cc"](spark, sf).collect()}
+    assert inc == full
