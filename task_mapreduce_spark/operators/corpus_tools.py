@@ -552,7 +552,14 @@ def _bpe_round_ctes(k: int) -> tuple[list[str], list[str]]:
     expansion, exact integer counts, (count DESC, pair ASC) argmax, and
     the TWO-PASS non-overlapping left-to-right `replace` both engines
     implement identically (see the operator docstring for why two
-    passes define the merge-application semantics)."""
+    passes define the merge-application semantics).  Each round joins
+    the 1-row argmax via LEFT JOIN ON TRUE with a NULL-pair passthrough
+    CASE, NOT a cross join: when the corpus exhausts mergeable pairs
+    before round K, b{{r}} is empty and a cross join would annihilate
+    the vocabulary for every later round — wrong for the APPLY oracle,
+    whose w{{K}} must carry the last successful round's segmentation
+    exactly as the Spark loop's break does (pair-exhausted corpora are
+    pinned by test_bpe_pair_exhausted_corpus)."""
     ctes = [
         """w0 AS (
       SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
@@ -580,11 +587,12 @@ def _bpe_round_ctes(k: int) -> tuple[list[str], list[str]]:
         )
         ctes.append(
             f"""w{r} AS (
-      SELECT w, replace(replace(seq,
+      SELECT w, CASE WHEN b.pair IS NULL THEN seq
+                ELSE replace(replace(seq,
                  ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
                  ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')
-               AS seq, freq
-      FROM {prev}, b{r} b
+                END AS seq, freq
+      FROM {prev} LEFT JOIN b{r} b ON TRUE
     )"""
         )
         selects.append(
@@ -638,9 +646,11 @@ def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant, pinned by a planted-corpus golden test.)
 
     Output: the learned merge table itself — (merge_rank, left_sym,
-    right_sym, merged, cnt), K rows; empty corpus → 0 rows on both
-    engines (LIMIT 1 of an empty pair table selects nothing and the
-    cross join annihilates the vocabulary, identically in SQL).
+    right_sym, merged, cnt), K rows; fewer when the corpus exhausts
+    mergeable pairs first (the Spark loop breaks; the oracle's
+    LEFT-JOIN rounds emit no row and pass the vocabulary through
+    unchanged — see _bpe_round_ctes); empty corpus → 0 rows on both
+    engines.
 
     The per-round argmax is COLLECTED as a 1-row literal (the
     sort_global collected-boundary class: metadata-sized by
@@ -823,7 +833,9 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: two word-count aggregates over one token explosion (per-doc
     tf, corpus df — both map-side-partial hash-aggs), the |vocab|-row
-    df table broadcast exactly as text_tfidf's is, the 1-row corpus
+    df join UNHINTED exactly as text_tfidf's is (corpus-derived
+    cardinality — AQE broadcasts while it fits, shuffles when it does
+    not; never a forced |vocab| broadcast), the 1-row corpus
     count cross-joined (metadata-row pattern), and the per-doc top-k a
     WindowGroupLimit window on the unique (rounded tfidf DESC, token)
     order — O(k) state per doc at any corpus size.  ln rounded to 9 on
@@ -838,7 +850,7 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfq), "token")
+        tf.join(dfq, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

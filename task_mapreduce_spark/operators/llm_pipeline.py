@@ -586,8 +586,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-vector per source (Dean & Ghemawat §2.3's "term-vector per
     host"): tf per (source, token), idf from document frequency.  The
-    df and corpus-count sides are tiny aggregates → broadcast; only the
-    token explosion shuffles, once.  ln rounded on both sides."""
+    1-row corpus count is broadcast (bounded metadata); the df side is
+    |vocab| rows — corpus-derived and UNBOUNDED at web scale (billions
+    of distinct tokens), so its join is deliberately UNHINTED: AQE
+    broadcasts it while it fits and falls back to a shuffle hash join
+    when it does not (the text_collocation_pmi discipline; a forced
+    broadcast here is an executor OOM at 100 TB).  ln rounded on both
+    sides."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
@@ -600,7 +605,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "source",

@@ -257,3 +257,40 @@ def test_tokenizer_apply_bpe_classic_corpus_token_budget(spark, tmp_path):
     out = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
            for r in QUERIES["tokenizer_apply_bpe"](spark, sf).collect()}
     assert out == {0: (7, 5 * 1 + 2 * 3), 1: (9, 6 * 1 + 3 * 3)}
+
+
+def test_bpe_pair_exhausted_corpus(spark, tmp_path):
+    # 'ab ab ab' supports exactly ONE merge (a,b) — rounds 2..8 have an
+    # empty argmax.  The Spark loop breaks; the oracle's rounds must
+    # pass the vocabulary through via the LEFT JOIN ON TRUE + NULL-pair
+    # CASE (a cross join with the empty b{r} annihilated w{r} for every
+    # later round, zeroing the APPLY oracle's vocabulary — the round-7
+    # ADVICE finding).  Both keys checked against their DuckDB oracles.
+    import duckdb
+
+    from task_mapreduce_spark.registry import ORACLES
+
+    sf = _write_docs(spark, tmp_path, ["ab ab ab"])
+
+    got_train = sorted(
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["cnt"])
+        for r in QUERIES["tokenizer_train_bpe"](spark, sf).collect()
+    )
+    assert got_train == [(1, "a", "b", "ab", 3)]
+
+    got_apply = sorted(
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+        for r in QUERIES["tokenizer_apply_bpe"](spark, sf).collect()
+    )
+    assert got_apply == [(0, 3, 3)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want_train = sorted(con.execute(ORACLES["tokenizer_train_bpe"]).fetchall())
+    assert [tuple(r) for r in want_train] == got_train
+    want_apply = sorted(con.execute(ORACLES["tokenizer_apply_bpe"]).fetchall())
+    assert [tuple(r) for r in want_apply] == got_apply
+    con.close()

@@ -503,3 +503,155 @@ def test_hard_negatives_keeps_window_group_limit(spark, sf_dir):
     # buffer grows — same contract as sim_join_knn's
     plan = plan_of(spark, sf_dir, "mine_hard_negatives")
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# Standing audits over ALL registered plans (round-8 hardening)
+# ---------------------------------------------------------------------------
+
+# Exhaustive manifest of forced broadcast hints: key -> (max analyzed-plan
+# ResolvedHint(strategy=broadcast) count, the BOUNDED side justifying it).
+# A broadcast hint is legitimate ONLY when the hinted side's cardinality is
+# bounded by construction (1-row/metadata aggregates, ≤|dims| rows,
+# byte-gated build sides, eval sets that are MBs by nature) — NEVER when it
+# is corpus-derived (|vocab|, |docs|, |tokens|).  text_tfidf/text_keywords
+# carried exactly that defect through round 7 (forced |vocab| df broadcast);
+# the fix dropped the hint so AQE decides, and this manifest keeps any key
+# from growing a new one unreviewed: a new/raised entry requires writing
+# down what bounds the hinted side.
+_BROADCAST_HINT_BUDGET = {
+    # TPC-H dimension sides (nation/region bounded; part/supplier sides are
+    # predicate-filtered per the operator docstrings)
+    "join_broadcast": (2, "nation + region dims"),
+    "join_multiway": (2, "nation + region dims"),
+    "tpch_q5": (3, "nation⋈region + region-local supplier dim"),
+    "tpch_q7": (3, "two nation roles + supplier dim"),
+    "tpch_q8": (5, "nation⋈region, both nation roles, part, supplier"),
+    "tpch_q10": (1, "nation dim"),
+    "tpch_q14": (1, "date-filtered part dim"),
+    "tpch_q15": (2, "1-row MAX(total_revenue) + supplier dim"),
+    "tpch_q17": (1, "brand/container-filtered part dim"),
+    "tpch_q19": (1, "brand/container-filtered part dim"),
+    "tpch_q22": (1, "1-row global avg balance"),
+    # 1-row / metadata-sized aggregates (the sort_global-literal class)
+    "sort_global": (1, "≤65-row percentile boundary aggregate"),
+    "histogram_equidepth": (1, "1-row percentile-bounds aggregate"),
+    "profile_columns": (1, "1-row NDV-aggregate cross join"),
+    "anomaly_mad": (2, "per-event_type median + MAD aggregates (|types| rows)"),
+    "basket_pairs": (1, "1-row order-total (lift denominator)"),
+    "quality_perplexity": (1, "1-row corpus-token-count (unigram join UNHINTED)"),
+    "text_collocation_pmi": (1, "|langs|-row pair totals (unigram joins UNHINTED)"),
+    "text_tfidf": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
+    "text_keywords": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
+    "text_bm25": (2, "1-row (N, avgdl) stats + standing-query-filtered df"),
+    "text_langid": (1, "|langs|-row n-gram profile"),
+    "corpus_mix_weighted": (1, "|langs|-row weight table"),
+    "sessions_concurrency": (2, "bucket-maxima prefix aggregates (≤256 rows)"),
+    "stream_watermark_late": (1, "≤256-row bucket prefix-max aggregate"),
+    "join_bloom": (1, "1-row 2 KB bloom bitmap"),
+    "dedup_eval_prf": (1, "1-row subset-violation count"),
+    # similarity/ANN: centroid tables are √N rows (≈16 MB at 1 B vectors,
+    # documented in SCALE.md), probe/param sides are 1-row or k rows
+    "sim_search_topk": (1, "5 probe vectors"),
+    "sim_search_ann": (3, "1-row plane params + probe buckets"),
+    "sim_search_ivf": (7, "√N centroid rows + 1-row params + probe cells"),
+    "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
+    "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
+    "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
+    "mine_hard_negatives": (1, "√N centroid rows (shares sim_search_ivf's)"),
+    "sim_eval_recall": (4, "composes topk probe + ann params/probe arms"),
+    "pipeline_retrieval_e2e": (3, "1-row query vector + bm25 stats"),
+    # eval-set / benchmark sides: MBs by nature
+    "decontaminate_ngrams": (1, "benchmark eval-set shingles"),
+}
+
+
+@pytest.fixture(scope="module")
+def all_extended_plans(spark, sf_dir):
+    """One extended-mode explain per registered key (excl. the streaming
+    source, which has no batch plan).  Built once; both standing audits
+    below read from it.  Plan-build side jobs (BPE's argmax literals,
+    sort_global's boundaries) run here — ~80 s at sf0.001."""
+    plans = {}
+    for key in sorted(QUERIES):
+        if key == "stream_source":
+            continue
+        plans[key] = plan_of(spark, sf_dir, key, mode="extended")
+    return plans
+
+
+def _analyzed_section(plan: str) -> str:
+    import re
+
+    m = re.search(r"== Analyzed Logical Plan ==(.*?)== Optimized", plan, re.S)
+    return m.group(1) if m else ""
+
+
+def _physical_section(plan: str) -> str:
+    import re
+
+    m = re.search(r"== Physical Plan ==(.*)$", plan, re.S)
+    return m.group(1) if m else ""
+
+
+def test_no_forced_unbounded_broadcast(all_extended_plans):
+    # every forced broadcast hint in every registered plan must appear in
+    # the budget manifest above with a bounded-side rationale; a new hint
+    # (or one more on an existing key) fails until it's written down.
+    import re
+
+    got = {}
+    for key, plan in all_extended_plans.items():
+        n = len(
+            re.findall(
+                r"ResolvedHint \(strategy=broadcast\)", _analyzed_section(plan)
+            )
+        )
+        if n:
+            got[key] = n
+    # drift guard: if the analyzed-plan hint spelling ever changes across
+    # Spark builds, this canary key (two explicit dim broadcasts) goes
+    # silent and the whole audit would pass vacuously — fail loudly instead
+    assert got.get("join_broadcast"), "broadcast-hint plan format drift"
+    for key, n in sorted(got.items()):
+        assert key in _BROADCAST_HINT_BUDGET, (
+            f"{key}: {n} forced broadcast hint(s) not in the budget manifest —"
+            " is the hinted side bounded? (|vocab|/|docs| sides must be"
+            " UNHINTED so AQE can fall back to a shuffle at scale)"
+        )
+        budget, why = _BROADCAST_HINT_BUDGET[key]
+        assert n <= budget, (
+            f"{key}: {n} broadcast hints > budget {budget} ({why})"
+        )
+
+
+def test_no_single_partition_funnel_without_aggregate(all_extended_plans):
+    # the stream_watermark_late lesson as a standing rule over EVERY plan:
+    # an Exchange SinglePartition is only acceptable when it funnels an
+    # AGGREGATE (metadata-sized partials by construction) — never a raw
+    # corpus-sized frame (e.g. an unpartitioned Window or global Sort
+    # over data).  The subtree check is indentation-bounded, same walker
+    # as test_watermark_running_max_window_is_partitioned.
+    import re
+
+    def node_depth(s: str) -> int:
+        m = re.match(r"[\s:+*()0-9-]*", s)
+        return m.end()
+
+    for key, plan in sorted(all_extended_plans.items()):
+        lines = _physical_section(plan).splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            depth = node_depth(line)
+            subtree = []
+            for below in lines[i + 1 :]:
+                if node_depth(below) <= depth:
+                    break
+                subtree.append(below)
+            assert any(
+                "HashAggregate" in s
+                or "ObjectHashAggregate" in s
+                or "SortAggregate" in s
+                for s in subtree
+            ), f"{key}: SinglePartition funnel over a non-aggregate:\n{line}"
