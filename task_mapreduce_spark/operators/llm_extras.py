@@ -1571,85 +1571,140 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search: IVF-cell ANN (the centroid-bucketed scale path)
 # ---------------------------------------------------------------------------
 
-_IVF_NPROBE = 3    # each query searches its 3 nearest cells
+_IVF_NPROBE = 5        # each query searches its 5 nearest cells
+_IVF_LLOYD_STEPS = 1   # k-means refinement rounds over the hash seeds
 
 
-# Shared IVF cell construction — the ONE clustering both sim_search_ivf
-# and dedup_semantic build on, as a DuckDB CTE chain ending in
-#   cents(cid, cv)   — the Lloyd-refined centroids
-#   cells(vec_id, cell) — the final assignment
-# mirrored 1:1 by the Spark-side :func:`_ivf_cells`.  Seeds are the
-# vectors whose PORTABLE 48-bit md5(vec_id) hash is ≡ 0 mod stride —
-# a hash-ORDER rule, so nlist ≈ √N holds for ANY id distribution
-# (raw `vec_id % stride` assumed dense PKs: sparse or skewed
-# production ids would drift the seed count off √N and degrade cell
-# balance — round-6 verdict finding #1).
-_IVF_CELLS_CTES = """
-    e AS (
+def _ivf_cells_ctes(steps: int = _IVF_LLOYD_STEPS) -> str:
+    """Shared IVF cell construction — the ONE clustering sim_search_ivf,
+    dedup_semantic and mine_hard_negatives all build on, as a DuckDB CTE
+    chain ending in
+      cents(cid, cv)      — the Lloyd-refined centroids
+      asn(vec_id,cid,rn)  — every vector's centroid ranking
+      cells(vec_id, cell) — the final assignment
+    (step-count-agnostic names, so downstream oracle SQL never changes
+    when ``steps`` does), mirrored 1:1 by the Spark-side
+    :func:`_ivf_cells`.  Seeds are the vectors whose PORTABLE 48-bit
+    md5(vec_id) hash is ≡ 0 mod stride — a hash-ORDER rule, so
+    nlist ≈ √N holds for ANY id distribution (raw `vec_id % stride`
+    assumed dense PKs: sparse or skewed production ids would drift the
+    seed count off √N and degrade cell balance — round-6 verdict
+    finding #1).  Each Lloyd step: element-wise mean of the previous
+    assignment's cells (exact decimal sum → one deterministic double
+    division → round 9; parallel unnests zip in DuckDB), then re-assign.
+    ``steps`` is parameterized (round 8) but PINNED at 1: a measured
+    grid showed 1 step + nprobe=5 reaches the same recall@10
+    (0.58/0.58 at sf0.001/0.01) as 2 steps + nprobe=4 (0.58/0.60)
+    while a second step doubles the clustering cost for every key
+    sharing the cells (dedup_semantic, mine_hard_negatives) — probing
+    2 more of ~√N cells is the strictly cheaper dial for this
+    workload.  A search-heavy 100 TB deployment that amortizes the
+    index over many queries turns ``steps`` up instead."""
+    ctes = [
+        """e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    p AS (
+    )""",
+        """p AS (
       -- stride chosen so nlist ≈ ceil(sqrt(N)): the √N regime IVF wants
       SELECT greatest(1, CAST(floor(count(*) / greatest(1, ceil(sqrt(count(*)))))
                AS BIGINT)) AS stride
       FROM e
-    ),
-    seeds AS (
+    )""",
+        """seeds AS (
       SELECT vec_id AS cid, v AS cv FROM e, p
       WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
               % p.stride = 0
-    ),
-    asn0 AS (
+    )""",
+        """asn0 AS (
       SELECT e.vec_id, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC, c.cid
              ) AS rn
       FROM e CROSS JOIN seeds c
-    ),
-    cells0 AS (SELECT vec_id, cid AS cell FROM asn0 WHERE rn = 1),
-    -- one Lloyd step: element-wise mean of each seed cell's members.
-    -- Exact decimal sum -> one deterministic double division -> round 9
-    -- (parallel unnests zip in DuckDB: (val, idx) pairs)
-    elems AS (
+    )""",
+        "cells0 AS (SELECT vec_id, cid AS cell FROM asn0 WHERE rn = 1)",
+    ]
+    for r in range(1, steps + 1):
+        prev = f"cells{r - 1}"
+        ctes.append(
+            f"""elems{r} AS (
       SELECT c0.cell, unnest(e.v) AS val, unnest(range(len(e.v))) AS idx
-      FROM cells0 c0 JOIN e USING (vec_id)
-    ),
-    means AS (
+      FROM {prev} c0 JOIN e USING (vec_id)
+    )"""
+        )
+        ctes.append(
+            f"""means{r} AS (
       SELECT cell, idx,
              round(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
                      / COUNT(*), 9) AS m
-      FROM elems GROUP BY cell, idx
-    ),
-    cents AS (
-      SELECT cell AS cid, list(m ORDER BY idx) AS cv FROM means GROUP BY cell
-    ),
-    asn AS (
+      FROM elems{r} GROUP BY cell, idx
+    )"""
+        )
+        ctes.append(
+            f"""cents{r} AS (
+      SELECT cell AS cid, list(m ORDER BY idx) AS cv FROM means{r} GROUP BY cell
+    )"""
+        )
+        ctes.append(
+            f"""asn{r} AS (
       SELECT e.vec_id, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC, c.cid
              ) AS rn
-      FROM e CROSS JOIN cents c
-    ),
-    cells AS (SELECT vec_id, cid AS cell FROM asn WHERE rn = 1)"""
+      FROM e CROSS JOIN cents{r} c
+    )"""
+        )
+        ctes.append(
+            f"cells{r} AS (SELECT vec_id, cid AS cell FROM asn{r} WHERE rn = 1)"
+        )
+    ctes.append(f"cents AS (SELECT * FROM cents{steps})")
+    ctes.append(f"asn AS (SELECT * FROM asn{steps})")
+    ctes.append(f"cells AS (SELECT * FROM cells{steps})")
+    return ",\n    ".join(ctes)
 
 
-def _ivf_cells(e: DataFrame):
-    """Spark twin of ``_IVF_CELLS_CTES`` over the normed-vector frame
+_IVF_CELLS_CTES = _ivf_cells_ctes(_IVF_LLOYD_STEPS)
+
+
+def _ivf_cells(
+    e: DataFrame,
+    lloyd_steps: int = _IVF_LLOYD_STEPS,
+    target_cell: int | None = None,
+):
+    """Spark twin of ``_ivf_cells_ctes`` over the normed-vector frame
     ``e``: returns (assigned, cents) where assigned = (vec_id, v, nrm,
     cell) is the Lloyd-refined cell assignment and cents = (cid, cv)
     the refined centroids.  See sim_search_ivf's docstring for the
-    full 100 TB shape argument (broadcast √N centroid rows, map-side
-    max_by assignment, posexplode mean with partial aggregation)."""
-    params = e.agg(F.count(F.lit(1)).alias("n")).select(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.floor(
-                F.col("n") / F.greatest(F.lit(1.0), F.ceil(F.sqrt("n")))
-            ).cast("long"),
-        ).alias("stride")
-    )
+    full 100 TB shape argument (broadcast centroid rows, map-side
+    max_by assignment, posexplode mean with partial aggregation).
+
+    ``target_cell`` is the CONSTANT-STRIDE LINEARIZATION KNOB
+    (SCALE.md's pair-family escape hatch, now in code): by default the
+    stride is corpus-derived so nlist ≈ √N — the retrieval-tuned
+    regime, where probe cost is nprobe × cell ≈ nprobe·√N but
+    within-cell pair work grows as N^1.5.  Passing ``target_cell=s``
+    pins the stride to the CONSTANT s instead: seeds = hash % s == 0,
+    so nlist ∝ N and E[cell size] ≈ s stays flat as the corpus grows —
+    within-cell pair families (dedup_semantic, mine_hard_negatives)
+    turn LINEAR in N at the cost of more cells to probe.  Property-
+    tested in tests/test_properties.py: E[cell size] holds ~s across a
+    ×10 corpus growth.  The registered keys pin the √N default; the
+    knob is the documented dial a 100 TB deployment turns."""
+    if target_cell is None:
+        params = e.agg(F.count(F.lit(1)).alias("n")).select(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    F.col("n") / F.greatest(F.lit(1.0), F.ceil(F.sqrt("n")))
+                ).cast("long"),
+            ).alias("stride")
+        )
+    else:
+        params = e.sparkSession.range(1).select(
+            F.lit(int(max(1, target_cell))).cast("long").alias("stride")
+        )
     # seed rule: portable 48-bit md5 hash of the id ≡ 0 (mod stride) —
     # id-distribution-free, scan-side, identical in the oracle
     id_hash = F.conv(
@@ -1680,32 +1735,45 @@ def _ivf_cells(e: DataFrame):
             )
         )
 
-    # one Lloyd step over the seed assignment: element-wise exact-
-    # decimal mean per cell (see sim_search_ivf's docstring for the
-    # portability and shuffle-size argument); empty seed cells drop out
-    cells0 = assign(e, seeds)
-    means = (
-        cells0.select("cell", F.posexplode("v").alias("idx", "val"))
-        .groupBy("cell", "idx")
-        .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1)),
-                9,
-            ).alias("m")
+    # lloyd_steps k-means rounds over the seed assignment: element-wise
+    # exact-decimal mean per cell (see sim_search_ivf's docstring for
+    # the portability and shuffle-size argument); empty cells drop out.
+    # Each round is one posexplode mean + one broadcast re-assignment —
+    # centroid-table-sized state, never a second corpus copy.
+    cur = assign(e, seeds)
+    cents = seeds
+    for _ in range(lloyd_steps):
+        means = (
+            cur.select("cell", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("m")
+            )
         )
-    )
-    cents = (
-        means.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "m"))),
-                lambda s: s["m"],
-            ).alias("cv")
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+            # LAZY checkpoint (no plan-build job): the centroid table is
+            # nlist rows — materializing it once per step stops every
+            # downstream consumer (probes AND the final assignment, and
+            # step r+1's whole chain) from re-running the full Lloyd
+            # lineage.  Without this the 2-step chain re-executed per
+            # consumer: sim_search_ivf 2.5 s → 5.3 s at sf0.1; with it
+            # each step's clustering runs exactly once.
+            .localCheckpoint(eager=False)
         )
-        .select(F.col("cell").alias("cid"), "cv")
-    )
-    assigned = assign(e, cents).select("vec_id", "v", "nrm", "cell")
+        cur = assign(e, cents)
+    assigned = cur.select("vec_id", "v", "nrm", "cell")
     return assigned, cents
 
 
@@ -1742,14 +1810,18 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus size so nlist ≈ ceil(√N) in expectation for ANY id
     distribution (dense, sparse, or skewed) — computed as a 1-row
     aggregate cross-joined back in, no driver action, and the same
-    formula the oracle evaluates in SQL.  One Lloyd refinement then
-    replaces each seed with the element-wise MEAN of its assigned
-    members: hash sampling is a uniform (unstratified) draw, and cell
-    balance — the quantity the whole √N cost model rests on — improves
-    measurably after a single k-means step.  With nprobe=3 the measured
-    recall@10 is 0.46 at sf0.001 and 0.48 at sf0.01, above the old
-    dense-stride-seed numbers (0.44/0.44) while each query still scores
-    only ~nprobe/√N of the corpus.  The mean is engine-portable
+    formula the oracle evaluates in SQL.  ``_IVF_LLOYD_STEPS`` Lloyd
+    refinements then replace each seed with the element-wise MEAN of
+    its assigned members: hash sampling is a uniform (unstratified)
+    draw, and cell balance — the quantity the whole √N cost model rests
+    on — improves measurably per k-means step.  With one step and
+    nprobe=5 the measured recall@10 is 0.58 at BOTH sf0.001 and sf0.01
+    (round 7's nprobe=3 sat at 0.46/0.48; the old dense-stride seeds at
+    0.44/0.44) while each query still scores only ~nprobe/√N of the
+    corpus.  The round-8 grid also measured 2 steps + nprobe=4 at
+    0.58/0.60 — same recall, but a second step doubles clustering cost
+    for all three cell-sharing keys, so the probe dial won (see
+    :func:`_ivf_cells_ctes`).  The mean is engine-portable
     by the repo's float discipline: exact decimal(28,10) sums (merge-
     order-independent), ONE double division, round(·, 9) — mirrored
     verbatim in the oracle.  Refinement cost at scale: posexplode
@@ -1850,7 +1922,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives are trivially easy).
 
     Candidates come from the shared IVF cells (:func:`_ivf_cells` /
-    ``_IVF_CELLS_CTES`` — hash-order √N seeds + one Lloyd step), NOT
+    ``_IVF_CELLS_CTES`` — hash-order √N seeds + Lloyd refinement), NOT
     the label column: hard negatives live across label boundaries, so
     the blocker must be geometric.  Within-cell scoring carries the
     sim_join_knn cell-size contract and the same broadcast/round-robin
@@ -1964,7 +2036,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The clustering is the registered IVF construction, shared verbatim
     with sim_search_ivf (:func:`_ivf_cells` / ``_IVF_CELLS_CTES``:
-    hash-order √N seeds, one exact-decimal Lloyd step, broadcast
+    hash-order √N seeds, exact-decimal Lloyd refinement, broadcast
     centroids, map-side max_by assignment) — so the oracle replays
     seeding, refinement, assignment, within-cell scoring AND the prune
     decision, end to end.  Within-cell pair scoring carries the

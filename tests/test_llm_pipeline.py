@@ -279,11 +279,12 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         for r in QUERIES["sim_search_ivf"](spark, sf_dir).collect()
     }
     assert ivf, "IVF returned nothing"
-    # nprobe=2 of ~8 cells: expect a solid fraction of the exact top-k;
-    # floor pins the one-Lloyd-step refinement (0.44 stride-seeded →
-    # 0.48 refined at sf0.001, 0.36 → 0.44 at sf0.01)
+    # nprobe=5 of ~18 cells, one Lloyd step: measured 0.58 at both
+    # sf0.001 and sf0.01 (round 8; nprobe=3 sat at 0.46/0.48).  The
+    # 0.5 floor pins the probe widening actually paying for itself
+    # without over-fitting the fixture.
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.4, f"recall {recall:.2f}"
+    assert recall >= 0.5, f"recall {recall:.2f}"
     for q, v in ivf:
         assert v != q
     # ranks are 1..k contiguous per query

@@ -554,7 +554,7 @@ _BROADCAST_HINT_BUDGET = {
     # documented in SCALE.md), probe/param sides are 1-row or k rows
     "sim_search_topk": (1, "5 probe vectors"),
     "sim_search_ann": (3, "1-row plane params + probe buckets"),
-    "sim_search_ivf": (7, "√N centroid rows + 1-row params + probe cells"),
+    "sim_search_ivf": (9, "√N centroid rows, re-broadcast per Lloyd step + 1-row params + probe cells"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),

@@ -454,3 +454,49 @@ def test_cluster_incremental_equals_from_scratch_on_random_corpora(
     full = {r["doc_id"]: r["component_id"]
             for r in QUERIES["dedup_cluster_cc"](spark, sf).collect()}
     assert inc == full
+
+
+def test_ivf_constant_stride_knob_keeps_cell_size_flat(spark):
+    # the constant-stride linearization knob (SCALE.md's pair-family
+    # escape hatch, _ivf_cells(target_cell=s)): with stride pinned to a
+    # CONSTANT s, seeds = hash % s == 0 makes nlist ∝ N and E[cell
+    # size] ≈ s — flat as the corpus grows — so within-cell pair work
+    # is LINEAR in N.  Checked on a ×10 growth with SPARSE NON-DENSE
+    # ids (the id regime that broke the old `vec_id % stride` rule).
+    # Vectors are deterministic pseudo-random (md5-derived), dim 8.
+    from task_mapreduce_spark.operators.llm_extras import (
+        _ivf_cells,
+        _normed_vectors,
+    )
+
+    s = 20
+
+    def cells_at(n):
+        ids = spark.range(n).select(
+            # sparse, stretched, non-contiguous ids
+            (F.col("id") * 97 + 13).alias("vec_id")
+        )
+        emb = ids.select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(1, 8), j -> "
+                " (conv(substr(md5(concat(cast(vec_id as string), '_', j)),"
+                "  1, 6), 16, 10) % 1000) / 1000.0 - 0.5)"
+            ).alias("embedding"),
+        )
+        assigned, _ = _ivf_cells(_normed_vectors(emb), target_cell=s)
+        return assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell").alias("nlist"),
+        ).collect()[0]
+
+    small, big = cells_at(400), cells_at(4000)
+    mean_small = small["n"] / small["nlist"]
+    mean_big = big["n"] / big["nlist"]
+    # E[cell size] = s in expectation at BOTH scales (hash thinning is
+    # Binomial(N, 1/s): generous 2x bounds absorb the variance)
+    assert s / 2 <= mean_small <= 2 * s, mean_small
+    assert s / 2 <= mean_big <= 2 * s, mean_big
+    # and the cell COUNT, not the cell size, absorbs the x10 growth
+    ratio = big["nlist"] / small["nlist"]
+    assert 6 <= ratio <= 15, ratio
