@@ -767,7 +767,19 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero pretokenizer words produce no row, identically in both
     engines (explode/unnest of an empty array drops the doc).  The
     oracle re-learns the merges through the SAME unrolled CTE
-    generator, so train and apply can never disagree on the table."""
+    generator, so train and apply can never disagree on the table.
+
+    DECISION (round 8, explicit): apply RE-LEARNS the merges via
+    :func:`_bpe_train` rather than memoizing them across invocations.
+    The driver contract is pure ``(spark, sf_dir)`` calls — a
+    session-level memo keyed on sf_dir would serve STALE merges if the
+    parquet under that path changed between calls, a silent-wrongness
+    class this repo never trades for speed.  The accepted cost is one
+    extra train (~1.4 s at sf0.1: one corpus word-count + K=8
+    vocabulary-sized argmax jobs, measured in PERF.md); a real 100 TB
+    deployment persists the K-row merge table as an artifact and
+    applies it forever — the recompute is a fixture-contract artifact,
+    not the scale shape."""
     _, vocab = _bpe_train(spark, sf_dir)
     v = vocab.select(
         "w",

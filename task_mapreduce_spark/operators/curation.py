@@ -801,6 +801,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _contract_merge(
+    nodes: DataFrame, prior: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """ONE incremental-CC ingest step, factored out of
+    dedup_cluster_incremental so it can be ITERATED: merge an arriving
+    batch's edges into an existing labeling by CONTRACTION.
+
+    nodes      — (doc_id) the full post-ingest node set
+    prior      — (doc_id, label) the existing labeling (min doc_id per
+                 component); batch docs are absent from it
+    new_edges  — (a, b) edges with ≥1 endpoint outside prior
+    returns    — (doc_id, label) over all of ``nodes``
+
+    Endpoints map through prior labels (batch endpoints, absent from
+    prior, stand for themselves); intra-component edges collapse to
+    self-loops and drop; :func:`_min_label_cc` runs on the contracted
+    label-level graph — |affected components| + |batch| nodes, never
+    |corpus|.  Min-label fixpoints COMPOSE: a prior label is the min
+    doc_id of its base component, so the contracted fixpoint's min over
+    (prior labels ∪ batch ids) is the global min of the merged
+    component.  Because the output has the same (doc_id, label) shape
+    and the same min-per-component invariant as the input, the step
+    iterates: batch₁ then batch₂ each by contraction equals
+    from-scratch CC on the full graph — property-tested across two
+    successive merges on random corpora
+    (tests/test_properties.py::test_two_successive_contract_merges...)."""
+    pa = prior.select(F.col("doc_id").alias("a"), F.col("label").alias("la"))
+    pb = prior.select(F.col("doc_id").alias("b"), F.col("label").alias("lb"))
+    ce = (
+        new_edges.join(pa, "a", "left")
+        .join(pb, "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("a"),
+            F.coalesce("lb", F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    cnodes = (
+        ce.select(F.col("a").alias("doc_id"))
+        .unionByName(ce.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cc2 = _min_label_cc(cnodes, ce)
+    start = (
+        nodes.join(prior.withColumnRenamed("label", "plabel"), "doc_id", "left")
+        .select("doc_id", F.coalesce("plabel", F.col("doc_id")).alias("start"))
+    )
+    return (
+        start.join(
+            cc2.select(
+                F.col("doc_id").alias("start"), F.col("label").alias("merged")
+            ),
+            "start",
+            "left",
+        )
+        .select("doc_id", F.coalesce("merged", F.col("start")).alias("label"))
+    )
+
+
 @register(
     # The oracle is dedup_cluster_cc's registered recursive transitive
     # closure VERBATIM (available here because importing llm_extras
@@ -864,45 +923,7 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_nodes = d.select("doc_id").filter(~is_batch(F.col("doc_id")))
     # yesterday's state: labels of the accepted corpus only
     prior = _min_label_cc(base_nodes, base_edges).localCheckpoint()
-    # contract new edges through the prior labeling; batch endpoints
-    # (absent from prior) stand for themselves; intra-component edges
-    # collapse to self-loops and drop out
-    pa = prior.select(F.col("doc_id").alias("a"), F.col("label").alias("la"))
-    pb = prior.select(F.col("doc_id").alias("b"), F.col("label").alias("lb"))
-    ce = (
-        new_edges.join(pa, "a", "left")
-        .join(pb, "b", "left")
-        .select(
-            F.coalesce("la", F.col("a")).alias("a"),
-            F.coalesce("lb", F.col("b")).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-    )
-    cnodes = (
-        ce.select(F.col("a").alias("doc_id"))
-        .unionByName(ce.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    cc2 = _min_label_cc(cnodes, ce)
-    start = (
-        d.select("doc_id")
-        .join(prior.withColumnRenamed("label", "plabel"), "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("plabel", F.col("doc_id")).alias("start")
-        )
-    )
-    return (
-        start.join(
-            cc2.select(
-                F.col("doc_id").alias("start"), F.col("label").alias("merged")
-            ),
-            "start",
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce("merged", F.col("start"))
-            .cast("bigint")
-            .alias("component_id"),
-        )
+    merged = _contract_merge(d.select("doc_id"), prior, new_edges)
+    return merged.select(
+        "doc_id", F.col("label").cast("bigint").alias("component_id")
     )

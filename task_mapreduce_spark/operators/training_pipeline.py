@@ -1437,7 +1437,13 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     present-bucket aggregate.  Interpolation arithmetic is identical
     text on both sides over identically-rounded inputs: round-6 means,
     long/long `div`-bucket indices, one `(gap position)/(gap length)`
-    double division, round 6 — bit-stable.
+    double division, round 6 — bit-stable.  PRECONDITION: ts ≥ epoch.
+    The bucket index is TRUNC division of epoch-µs (Spark `div` ≡
+    DuckDB `//` on BIGINT, both toward zero — parity holds for any
+    sign), but for pre-1970 timestamps truncation makes bucket 0 span
+    (-1h, +1h) and shifts every negative bucket off the hourly grid;
+    the fixture (and any sane event log) is post-epoch, mirroring
+    stream_watermark_late's documented bound.
 
     100 TB shape: the per-bucket aggregate is the rollup_hypertable
     map-side-partial hash-agg (the only corpus-scale stage); the

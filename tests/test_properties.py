@@ -500,3 +500,53 @@ def test_ivf_constant_stride_knob_keeps_cell_size_flat(spark):
     # and the cell COUNT, not the cell size, absorbs the x10 growth
     ratio = big["nlist"] / small["nlist"]
     assert 6 <= ratio <= 15, ratio
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=EDGES)
+def test_two_successive_contract_merges_equal_from_scratch(spark, edges):
+    # the composition property the 100 TB incremental-CC story actually
+    # rests on: ingesting batch1 then batch2, EACH by contraction
+    # through the running labels (_contract_merge, the factored
+    # dedup_cluster_incremental step), must equal from-scratch CC on
+    # the full graph bit-exactly.  One merge was already proven against
+    # the recursive-CTE oracle; this pins the ITERATED form.  Waves by
+    # doc_id % 3: 0 = base corpus, 1 = first batch, 2 = second batch.
+    from task_mapreduce_spark.operators.curation import _contract_merge
+    from task_mapreduce_spark.operators.llm_extras import _min_label_cc
+
+    n = 25
+    wave = {x: x % 3 for x in range(n)}
+    uniq = {(a, b) for a, b in edges if a != b}
+    e0 = [(a, b) for a, b in uniq if wave[a] == 0 and wave[b] == 0]
+    e1 = [
+        (a, b)
+        for a, b in uniq
+        if max(wave[a], wave[b]) == 1
+    ]
+    e2 = [(a, b) for a, b in uniq if wave[a] == 2 or wave[b] == 2]
+
+    def edf(pairs):
+        return spark.createDataFrame(pairs or [(0, 0)], "a LONG, b LONG").filter(
+            F.col("a") != F.col("b")
+        )
+
+    def ndf(ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+
+    base_ids = [x for x in range(n) if wave[x] == 0]
+    thru1 = [x for x in range(n) if wave[x] <= 1]
+    prior = _min_label_cc(ndf(base_ids), edf(e0)).localCheckpoint()
+    l1 = _contract_merge(ndf(thru1), prior, edf(e1)).localCheckpoint()
+    l2 = _contract_merge(ndf(range(n)), l1, edf(e2))
+
+    got = {r["doc_id"]: r["label"] for r in l2.collect()}
+    want = {
+        r["doc_id"]: r["label"]
+        for r in _min_label_cc(ndf(range(n)), edf(list(uniq))).collect()
+    }
+    assert got == want
