@@ -381,6 +381,84 @@ def rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunk-level exact dedup (the RAG-ingestion dedup pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_chunks",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), {_CHUNK_STRIDE})) AS start
+      FROM docs
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+             sha256(array_to_string(
+               list_slice(toks, start, start + {_CHUNK_TOKENS} - 1), ' ')) AS h
+      FROM starts
+    ),
+    own AS (
+      SELECT h, doc_id AS odoc, chunk_id AS ochunk FROM (
+        SELECT h, doc_id, chunk_id,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT c.doc_id, c.chunk_id, c.h,
+           (c.doc_id = o.odoc AND c.chunk_id = o.ochunk) AS keep,
+           CASE WHEN c.doc_id = o.odoc AND c.chunk_id = o.ochunk
+                THEN NULL ELSE o.odoc END AS dup_of_doc,
+           CASE WHEN c.doc_id = o.odoc AND c.chunk_id = o.ochunk
+                THEN NULL ELSE o.ochunk END AS dup_of_chunk
+    FROM ch c JOIN own o USING (h)
+    """,
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup over the :func:`rag_chunk` decomposition
+    — the RAG-ingestion pass between chunking and embedding: identical
+    chunks (boilerplate spans, duplicated documents, shared headers)
+    must be embedded and indexed ONCE, so every chunk is resolved to a
+    canonical owner — the (doc_id, chunk_id)-smallest occurrence of its
+    content hash — before the embedding stage.  dedup_exact makes this
+    decision per DOCUMENT; this key makes it per retrieval unit, which
+    is what actually enters the vector index.
+
+    Shape: the chunk stream is rag_chunk's registered decomposition
+    (in-row slicing, no shuffle), hashed scan-side with sha256 so the
+    TEXT never shuffles (the dedup_exact discipline) — the single
+    shuffle is the per-partition ``min(struct(doc_id, chunk_id))``
+    window over the 32-byte digest key, tiny groups by construction.
+    No join back, no second shuffle: the owner annotates every chunk
+    row in the same pass.  At 100 TB this is exactly the dedup_exact
+    cost model on ~4× the row count (one chunk per 24 tokens).  The
+    oracle replays the decomposition, hashing, and owner pick verbatim
+    (row_number form — same values, SQL-clearer)."""
+    ch = rag_chunk(spark, sf_dir).select(
+        "doc_id", "chunk_id", F.sha2("chunk_text", 256).alias("h")
+    )
+    w = Window.partitionBy("h")
+    own = F.min(F.struct("doc_id", "chunk_id")).over(w)
+    keep = (F.col("doc_id") == own["doc_id"]) & (
+        F.col("chunk_id") == own["chunk_id"]
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "h",
+        keep.alias("keep"),
+        F.when(~keep, own["doc_id"]).alias("dup_of_doc"),
+        F.when(~keep, own["chunk_id"]).alias("dup_of_chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Collocation mining: PMI-scored bigrams
 # ---------------------------------------------------------------------------
 

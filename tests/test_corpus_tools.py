@@ -294,3 +294,47 @@ def test_bpe_pair_exhausted_corpus(spark, tmp_path):
     want_apply = sorted(con.execute(ORACLES["tokenizer_apply_bpe"]).fetchall())
     assert [tuple(r) for r in want_apply] == got_apply
     con.close()
+
+
+def test_dedup_chunks_invariants(spark, sf_dir):
+    rows = QUERIES["dedup_chunks"](spark, sf_dir).collect()
+    assert rows
+    by_h = {}
+    for r in rows:
+        by_h.setdefault(r["h"], []).append(r)
+    for h, grp in by_h.items():
+        keeps = [r for r in grp if r["keep"]]
+        assert len(keeps) == 1, f"{h}: {len(keeps)} keeps"
+        owner = min((r["doc_id"], r["chunk_id"]) for r in grp)
+        k = keeps[0]
+        assert (k["doc_id"], k["chunk_id"]) == owner
+        assert k["dup_of_doc"] is None and k["dup_of_chunk"] is None
+        for r in grp:
+            if not r["keep"]:
+                assert (r["dup_of_doc"], r["dup_of_chunk"]) == owner
+
+
+def test_dedup_chunks_planted_duplicate_docs(spark, tmp_path):
+    # doc 7 repeats doc 2's text verbatim: every one of doc 7's chunks
+    # must resolve to doc 2's same-position chunk; doc 0's unique text
+    # keeps everything.  48 tokens -> chunk starts at 1 and 25 (stride
+    # 24), so 2 chunks per doc.
+    base = " ".join(f"tok{i}" for i in range(48))
+    uniq = " ".join(f"only{i}" for i in range(48))
+    rows = [(0, uniq, "en", "s", len(uniq)),
+            (2, base, "en", "s", len(base)),
+            (7, base, "en", "s", len(base))]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in QUERIES["dedup_chunks"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 6
+    for cid in (0, 1):
+        assert got[(0, cid)]["keep"]
+        assert got[(2, cid)]["keep"]
+        r = got[(7, cid)]
+        assert not r["keep"]
+        assert (r["dup_of_doc"], r["dup_of_chunk"]) == (2, cid)
