@@ -1692,6 +1692,16 @@ def _ivf_cells(
     tested in tests/test_properties.py: E[cell size] holds ~s across a
     ×10 corpus growth.  The registered keys pin the √N default; the
     knob is the documented dial a 100 TB deployment turns."""
+    # EAGER checkpoint of the normed-vector frame: without it Catalyst
+    # collapses _normed_vectors' higher-order projections (the
+    # transform cast and the zip_with/aggregate norm) INTO the N×nlist
+    # multiplied crossJoin rows, re-allocating and re-folding the
+    # 64-element arrays once per (vector, centroid) pair — measured
+    # 25 s vs 0.6 s for one Lloyd mean at 20k vectors (x10 stress,
+    # round 8; the CollapseProject sibling of the element_at trap in
+    # CLAUDE.md).  Materializing (vec_id, v, nrm) once is the standard
+    # IVF-build working set (~N·dim floats, the index itself).
+    e = e.localCheckpoint()
     if target_cell is None:
         params = e.agg(F.count(F.lit(1)).alias("n")).select(
             F.greatest(
@@ -1743,6 +1753,13 @@ def _ivf_cells(
     cur = assign(e, seeds)
     cents = seeds
     for _ in range(lloyd_steps):
+        # EAGER checkpoint of the step's assignment before the
+        # posexplode mean: Generate directly over a LIVE hash-aggregate
+        # subplan is a measured 40× cliff (23 s vs 0.6 s for the same
+        # 1.28M-row explode at 20k vectors — same pathology family as
+        # the InferFiltersFromGenerate traps in CLAUDE.md).  N narrow
+        # rows + the vector — the same working set as the index build.
+        cur = cur.localCheckpoint()
         means = (
             cur.select("cell", F.posexplode("v").alias("idx", "val"))
             .groupBy("cell", "idx")
@@ -1763,14 +1780,17 @@ def _ivf_cells(
                 ).alias("cv")
             )
             .select(F.col("cell").alias("cid"), "cv")
-            # LAZY checkpoint (no plan-build job): the centroid table is
-            # nlist rows — materializing it once per step stops every
-            # downstream consumer (probes AND the final assignment, and
-            # step r+1's whole chain) from re-running the full Lloyd
-            # lineage.  Without this the 2-step chain re-executed per
-            # consumer: sim_search_ivf 2.5 s → 5.3 s at sf0.1; with it
-            # each step's clustering runs exactly once.
-            .localCheckpoint(eager=False)
+            # EAGER checkpoint of the nlist-row centroid table, for two
+            # measured reasons (x10 stress, 20k vectors, round 8):
+            # (1) a BROADCAST subtree re-executes its whole child plan
+            # per consuming job — probes, the final assignment, and any
+            # caller each re-ran the full Lloyd chain (sim_search_ivf
+            # x10 46 s → 4 s once cut); (2) lazy (eager=False)
+            # checkpoints proved a placebo on this build — derived
+            # actions re-ran the live lineage anyway.  Cost: one
+            # centroid-sized plan-build job per step, the same trade
+            # dedup_semantic's assigned-checkpoint already makes.
+            .localCheckpoint()
         )
         cur = assign(e, cents)
     assigned = cur.select("vec_id", "v", "nrm", "cell")
