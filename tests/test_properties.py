@@ -550,3 +550,54 @@ def test_two_successive_contract_merges_equal_from_scratch(spark, edges):
         for r in _min_label_cc(ndf(range(n)), edf(list(uniq))).collect()
     }
     assert got == want
+
+
+_CHUNK_DOCS = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=1, max_size=60).map(
+        lambda ts: " ".join(ts)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CHUNK_DOCS)
+def test_dedup_chunks_matches_pure_python_reference(spark, tmp_path, texts):
+    # independent implementation of the documented semantics (32-token
+    # chunks every 24, sha-keyed classes, (doc_id, chunk_id)-min owner)
+    # — breaks the common-mode risk of the SQL oracle, which shares the
+    # repo's own decomposition text.  Tiny token alphabet ("a".."c")
+    # maximizes cross-doc chunk collisions, including partial tail
+    # chunks and chunks duplicated WITHIN one document.
+    from task_mapreduce_spark.registry import QUERIES
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    classes = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for ci, start in enumerate(range(0, len(toks), 24)):
+            chunk = " ".join(toks[start : start + 32])
+            classes.setdefault(chunk, []).append((i, ci))
+    want = {}
+    for chunk, members in classes.items():
+        owner = min(members)
+        for m in members:
+            want[m] = (m == owner, None if m == owner else owner)
+
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["keep"],
+            None if r["keep"] else (r["dup_of_doc"], r["dup_of_chunk"]),
+        )
+        for r in QUERIES["dedup_chunks"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
