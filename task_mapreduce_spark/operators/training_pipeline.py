@@ -232,6 +232,155 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (subspace codebooks — the ANN memory-compression step)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces: dim-64 fixture → 8 dims per subspace
+
+
+@register(
+    "embedding_pq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+      SELECT greatest(1, CAST(floor(count(*) / greatest(1, ceil(sqrt(count(*)))))
+               AS BIGINT)) AS stride
+      FROM e
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv FROM e, p
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+              % p.stride = 0
+    ),
+    subs AS (SELECT unnest(range({_PQ_M})) AS sub),
+    ev AS (
+      SELECT e.vec_id, s.sub, len(e.v) // {_PQ_M} AS dsub,
+             list_slice(e.v, s.sub * (len(e.v) // {_PQ_M}) + 1,
+                        (s.sub + 1) * (len(e.v) // {_PQ_M})) AS sv
+      FROM e CROSS JOIN subs s
+    ),
+    cs AS (
+      SELECT c.cid, s.sub,
+             list_slice(c.cv, s.sub * (len(c.cv) // {_PQ_M}) + 1,
+                        (s.sub + 1) * (len(c.cv) // {_PQ_M})) AS csl
+      FROM seeds c CROSS JOIN subs s
+    ),
+    scored AS (
+      SELECT ev.vec_id, ev.sub, cs.cid,
+             round(list_sum(list_transform(range(1, ev.dsub + 1),
+                    i -> (ev.sv[i] - cs.csl[i]) * (ev.sv[i] - cs.csl[i]))), 6)
+               AS d2
+      FROM ev JOIN cs USING (sub)
+    )
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+           d2 AS err2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d2, cid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, public IEEE TPAMI): split
+    each vector into ``_PQ_M`` subspaces, quantize every subspace slice
+    to its nearest codeword from a per-subspace codebook, and emit
+    (vec_id, sub, code, err2) — the vector-compression step a 100 TB
+    ANN deployment runs so the index holds M small codes per vector
+    (here 8 bytes-ish) instead of dim floats (256 B), beside
+    embedding_quantize's int8 scalar path and embedding_project_rp's
+    dimensionality path.
+
+    Codebooks are the repo's portable hash-order data subset (the
+    sim_search_ivf seed rule: md5(vec_id) % corpus-derived stride — a
+    deterministic, id-distribution-free draw) sliced per subspace, so
+    both engines derive the SAME codebook and the oracle replays
+    slicing, scoring and the argmin end to end.  Distances are squared
+    L2 over the dsub-element slices, rounded to 6 before the argmin
+    (the cosine-family float discipline; ties broken by codeword id —
+    seed vectors therefore encode to themselves with err2 = 0).
+
+    Shape: the slice explosion is in-row (size-preserving sequence —
+    the safe Generate case); the sliced frame is EAGERLY checkpointed
+    before the multiplied join (the CLAUDE.md HOF-collapse defense:
+    otherwise the transform-cast and slices re-evaluate once per
+    (vector, codeword) pair); scoring is an equi-join on the subspace
+    id against the BROADCAST codebook (M·nlist rows — the centroid
+    class), and the argmin is one (d2, cid) struct-min hash-agg per
+    (vec_id, sub) — map-side partials, shuffle carries N·M narrow
+    rows, no window over data.  Encode work is N·M·nlist; nlist ≈ √N
+    here is the fixture-portable seed rule, but REAL PQ pins the
+    codebook size constant (K = 256), which makes encoding strictly
+    LINEAR in N — the same constant-stride dial as
+    ``_ivf_cells(target_cell=...)``.  Production adds per-subspace
+    Lloyd rounds (the _ivf_cells machinery verbatim, per slice)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    params = e.agg(F.count(F.lit(1)).alias("n")).select(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                F.col("n") / F.greatest(F.lit(1.0), F.ceil(F.sqrt("n")))
+            ).cast("long"),
+        ).alias("stride")
+    )
+    id_hash = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    seeds = (
+        e.crossJoin(F.broadcast(params))
+        .filter(id_hash % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    dsub = F.expr(f"size(v) div {_PQ_M}")
+    sub_ids = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub")
+    ev = (
+        e.select("vec_id", "v", sub_ids)
+        .select(
+            "vec_id",
+            "sub",
+            F.slice("v", F.col("sub") * dsub + 1, dsub).alias("sv"),
+        )
+        .localCheckpoint()
+    )
+    dsub_c = F.expr(f"size(cv) div {_PQ_M}")
+    cs = (
+        seeds.select("cid", "cv", sub_ids)
+        .select(
+            "cid",
+            "sub",
+            F.slice("cv", F.col("sub") * dsub_c + 1, dsub_c).alias("csl"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "csl", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = ev.join(F.broadcast(cs), "sub").select(
+        "vec_id", "sub", "cid", d2.alias("d2")
+    )
+    m = F.min(F.struct(F.col("d2"), F.col("cid")))
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(m.alias("m"))
+        .select(
+            "vec_id",
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("m.cid").cast("bigint").alias("code"),
+            F.col("m.d2").alias("err2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event funnel (ordered-stage conversion)
 # ---------------------------------------------------------------------------
 

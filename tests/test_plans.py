@@ -161,6 +161,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "tpch_q15",             # 1-row MAX(total_revenue) scalar-subquery crossJoin
         "tpch_q22",             # 1-row global-avg-balance scalar-subquery crossJoin
         "basket_pairs",         # 1-row order-total crossJoin (lift denominator)
+        "embedding_pq",         # 1-row stride-params crossJoin (seed rule)
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
     }
@@ -561,6 +562,7 @@ _BROADCAST_HINT_BUDGET = {
     "mine_hard_negatives": (1, "√N centroid rows (shares sim_search_ivf's)"),
     "sim_eval_recall": (4, "composes topk probe + ann params/probe arms"),
     "pipeline_retrieval_e2e": (3, "1-row query vector + bm25 stats"),
+    "embedding_pq": (2, "1-row stride params + M·√N-row sliced codebook"),
     # eval-set / benchmark sides: MBs by nature
     "decontaminate_ngrams": (1, "benchmark eval-set shingles"),
 }

@@ -308,3 +308,37 @@ def test_resample_gapfill_planted_gaps_interpolate_linearly(spark, tmp_path):
     assert (a3["n_events"], a3["avg_value"], a3["value_filled"], a3["is_gap"]) == (1, 8.0, 8.0, False)
     b = out[("b", 7)]
     assert (b["n_events"], b["value_filled"], b["is_gap"]) == (1, 5.0, False)
+
+
+def test_embedding_pq_invariants(spark, sf_dir):
+    from task_mapreduce_spark.operators.training_pipeline import _PQ_M
+    from task_mapreduce_spark.tables import load
+
+    rows = QUERIES["embedding_pq"](spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    # every vector encodes every subspace exactly once
+    assert len(rows) == n_vecs * _PQ_M
+    seen = {(r["vec_id"], r["sub"]) for r in rows}
+    assert len(seen) == len(rows)
+    codes = {r["code"] for r in rows}
+    for r in rows:
+        assert 0 <= r["sub"] < _PQ_M
+        assert r["err2"] >= 0.0
+    # codewords are real corpus vectors chosen by the hash-order rule
+    import hashlib
+
+    def h48(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+
+    ids = [r["vec_id"] for r in rows]
+    n = n_vecs
+    import math
+    stride = max(1, math.floor(n / max(1.0, math.ceil(math.sqrt(n)))))
+    seeds = {i for i in set(ids) if h48(i) % stride == 0}
+    assert codes <= seeds
+    # a seed vector's own slice is at distance 0: seeds encode with err2=0
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for s in seeds:
+        assert all(r["err2"] == 0.0 for r in by_vec[s]), s
