@@ -601,3 +601,68 @@ def test_dedup_chunks_matches_pure_python_reference(spark, tmp_path, texts):
         for r in QUERIES["dedup_chunks"](spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+_PQ_VECS = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=16, max_size=16
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_PQ_VECS)
+def test_embedding_pq_matches_pure_python_reference(spark, tmp_path, vecs):
+    # independent implementation of the documented PQ semantics
+    # (hash-order stride seeds, per-subspace slices, squared-L2 argmin
+    # with codeword-id tiebreak).  INTEGER-valued dim-16 vectors make
+    # every distance an exact integer, so the round-6/tiebreak layer
+    # cannot blur the comparison and exact ties genuinely exercise the
+    # cid-min rule (small ints collide often).
+    import hashlib
+    import math
+
+    from task_mapreduce_spark.registry import QUERIES
+
+    n = len(vecs)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+
+    stride = max(1, math.floor(n / max(1.0, math.ceil(math.sqrt(n)))))
+    seeds = [
+        i
+        for i in range(n)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % stride == 0
+    ]
+    dsub = 16 // 8
+    want = {}
+    for i, v in enumerate(vecs):
+        for sub in range(8):
+            sv = v[sub * dsub : (sub + 1) * dsub]
+            best = min(
+                (
+                    sum(
+                        (sv[j] - vecs[c][sub * dsub + j]) ** 2
+                        for j in range(dsub)
+                    ),
+                    c,
+                )
+                for c in seeds
+            )
+            want[(i, sub)] = (best[1], float(best[0]))
+
+    got = {
+        (r["vec_id"], r["sub"]): (r["code"], r["err2"])
+        for r in QUERIES["embedding_pq"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
