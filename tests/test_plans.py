@@ -162,6 +162,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "tpch_q22",             # 1-row global-avg-balance scalar-subquery crossJoin
         "basket_pairs",         # 1-row order-total crossJoin (lift denominator)
         "embedding_pq",         # 1-row stride-params crossJoin (seed rule)
+        "sim_search_pq",        # shares embedding_pq's 1-row params crossJoin
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
     }
@@ -563,6 +564,8 @@ _BROADCAST_HINT_BUDGET = {
     "sim_eval_recall": (4, "composes topk probe + ann params/probe arms"),
     "pipeline_retrieval_e2e": (3, "1-row query vector + bm25 stats"),
     "embedding_pq": (2, "1-row stride params + M·√N-row sliced codebook"),
+    "sim_search_pq": (6, "encode arm's 2 + ADC lookup table + |q|·k' shortlist"
+                         " + |q|-row query vectors (all centroid/metadata class)"),
     # eval-set / benchmark sides: MBs by nature
     "decontaminate_ngrams": (1, "benchmark eval-set shingles"),
 }

@@ -342,3 +342,45 @@ def test_embedding_pq_invariants(spark, sf_dir):
         by_vec.setdefault(r["vec_id"], []).append(r)
     for s in seeds:
         assert all(r["err2"] == 0.0 for r in by_vec[s]), s
+
+
+def test_sim_search_pq_rerank_recall_and_invariants(spark, sf_dir):
+    from task_mapreduce_spark.operators.training_pipeline import (
+        _PQ_N_QUERIES,
+        _PQ_TOP_K,
+    )
+    from task_mapreduce_spark.tables import load
+
+    rows = QUERIES["sim_search_pq"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        assert r["dist"] >= 0.0 and r["adc_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(_PQ_N_QUERIES))
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    rec = 0.0
+    for q, grp in by_q.items():
+        # ranks contiguous 1..k on the unique (dist, vec_id) order
+        assert sorted(r["rank"] for r in grp) == list(
+            range(1, _PQ_TOP_K + 1)
+        )
+        got = {r["vec_id"] for r in grp}
+        qv = vecs[q]
+        d = {
+            i: sum((a - b) ** 2 for a, b in zip(v, qv))
+            for i, v in vecs.items()
+            if i != q
+        }
+        exact = [i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))][
+            :_PQ_TOP_K
+        ]
+        rec += len(got & set(exact)) / _PQ_TOP_K
+    rec /= len(by_q)
+    # measured 0.62 at sf0.001 / 0.52 at sf0.01 (untrained hash-sampled
+    # codebooks + 50-candidate exact rerank); 0.45 pins the two-stage
+    # pattern actually working without over-fitting the fixture
+    assert rec >= 0.45, rec
