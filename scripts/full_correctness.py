@@ -75,10 +75,13 @@ for key, fn in queries.items():
         rec["spark_rows"] = len(spark_rows)
         sql = oracles.get(key)
         if sql is None:
-            # rows-only class (currently empty): record honestly
+            # rows-only class (currently empty): record honestly via a
+            # DISTINCT field — rows_match stays False so the weaker
+            # check can never read as a value match downstream.
             rec["err"] = "no_oracle"
-            rec["rows_match"] = bool(spark_rows)
+            rec["rows_nonempty"] = bool(spark_rows)
             n_bad += 0 if spark_rows else 1
+            print(f"{key}: rows-only {json.dumps(rec)}", flush=True)
             results[key] = rec
             continue
         cur = con.execute(sql)

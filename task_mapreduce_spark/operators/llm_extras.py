@@ -1659,7 +1659,14 @@ def _ivf_cells_ctes(steps: int = _IVF_LLOYD_STEPS) -> str:
         ctes.append(
             f"cells{r} AS (SELECT vec_id, cid AS cell FROM asn{r} WHERE rn = 1)"
         )
-    ctes.append(f"cents AS (SELECT * FROM cents{steps})")
+    # steps=0 has no cents0 CTE (the loop never ran): the final
+    # centroids ARE the seeds — emit that alias so every step count the
+    # Spark twin accepts (lloyd_steps=0 falls back to seeds) yields
+    # runnable SQL too (round-8 ADVICE: the dials must stay symmetric).
+    if steps == 0:
+        ctes.append("cents AS (SELECT cid, cv FROM seeds)")
+    else:
+        ctes.append(f"cents AS (SELECT * FROM cents{steps})")
     ctes.append(f"asn AS (SELECT * FROM asn{steps})")
     ctes.append(f"cells AS (SELECT * FROM cells{steps})")
     return ",\n    ".join(ctes)

@@ -666,3 +666,30 @@ def test_embedding_pq_matches_pure_python_reference(spark, tmp_path, vecs):
         for r in QUERIES["embedding_pq"](spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_ivf_ctes_steps0_runnable_and_matches_spark(spark, oracle, sf_dir):
+    # the parameterized Lloyd dial must stay SYMMETRIC across engines at
+    # every step count it accepts: _ivf_cells(lloyd_steps=0) falls back
+    # to the hash-order seeds, and _ivf_cells_ctes(0) must emit runnable
+    # SQL whose final cells are the same assignment (round-8 ADVICE: the
+    # steps=0 CTE chain referenced an undefined cents0).
+    from task_mapreduce_spark.operators.llm_extras import (
+        _ivf_cells,
+        _ivf_cells_ctes,
+        _normed_vectors,
+    )
+    from task_mapreduce_spark.tables import load
+
+    assigned, cents = _ivf_cells(
+        _normed_vectors(load(spark, sf_dir, "embeddings")), lloyd_steps=0
+    )
+    got = {(r["vec_id"], r["cell"]) for r in assigned.collect()}
+    sql = f"WITH {_ivf_cells_ctes(0)} SELECT vec_id, cell FROM cells"
+    want = set(map(tuple, oracle.execute(sql).fetchall()))
+    assert got == want
+    # and the steps=0 centroids ARE the seeds on both sides
+    n_seeds = oracle.execute(
+        f"WITH {_ivf_cells_ctes(0)} SELECT count(*) FROM cents"
+    ).fetchone()[0]
+    assert cents.count() == n_seeds
