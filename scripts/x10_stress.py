@@ -28,7 +28,7 @@ BASE = os.environ.get("X10_BASE", "/root/testdata/sf0.1")
 X10 = os.environ.get("X10_DIR", "/tmp/x10_fixture")
 KEYS = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "sim_search_ivf", "dedup_semantic", "mine_hard_negatives",
-    "dedup_chunks",
+    "dedup_chunks", "embedding_pq", "sim_search_pq",
 ]
 
 spark = get_spark("x10-stress")

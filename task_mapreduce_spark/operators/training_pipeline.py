@@ -239,55 +239,119 @@ _PQ_M = 8          # subspaces: dim-64 fixture → 8 dims per subspace
 _PQ_N_QUERIES = 5  # the ANN-family query convention (vec_id < 5)
 _PQ_TOP_K = 10
 _PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
+_PQ_LLOYD_STEPS = 0  # per-subspace k-means rounds over the hash seeds
 
-# Shared PQ construction as a DuckDB CTE chain ending in
-#   ev(vec_id, sub, dsub, sv)   — per-subspace vector slices
-#   cs(cid, sub, csl)           — per-subspace codebook slices
-#   codes(vec_id, sub, code, err2) — the encoded corpus
-# mirrored by the Spark-side helpers below; both embedding_pq (the
-# encoder) and sim_search_pq (the ADC search over the codes) build on
-# the SAME chain, so the two keys can never disagree on the codebook.
-_PQ_CTES = f"""e AS (
+
+def _pq_ctes(steps: int = _PQ_LLOYD_STEPS, target_k: int | None = None) -> str:
+    """Shared PQ construction as a DuckDB CTE chain ending in
+      ev(vec_id, sub, dsub, sv)      — per-subspace vector slices
+      cs(cid, sub, csl)              — the FINAL per-subspace codebooks
+      codes(vec_id, sub, code, err2) — the encoded corpus
+    (step-count-agnostic names, so downstream oracle SQL never changes
+    when ``steps`` does — the `_ivf_cells_ctes` discipline, including
+    the steps=0 case where the final codebook IS the sliced seeds),
+    mirrored 1:1 by the Spark-side :func:`_pq_encode`.  Both
+    embedding_pq (the encoder) and sim_search_pq (the ADC search over
+    the codes) build on the SAME chain, so the two keys can never
+    disagree on the codebook.
+
+    ``target_k`` is the CONSTANT-CODEBOOK LINEARIZATION KNOB (the PQ
+    twin of ``_ivf_cells(target_cell=)``): by default the seed stride
+    is corpus-derived so the codebook has ≈√N entries — fixture-
+    portable, but encode work N·M·√N = N^1.5.  Passing ``target_k=K``
+    derives the stride as floor(N/K) instead, pinning the codebook
+    size to ≈K CONSTANT as the corpus grows — real PQ's K=256 regime,
+    where encoding is strictly LINEAR in N.  Each Lloyd step replaces
+    every codeword with the element-wise mean of the slices assigned
+    to it (exact decimal sum → one deterministic double division →
+    round 9; parallel unnests zip in DuckDB), then re-assigns."""
+    if target_k is None:
+        stride_expr = (
+            "greatest(1, CAST(floor(count(*) / greatest(1, "
+            "ceil(sqrt(count(*))))) AS BIGINT))"
+        )
+    else:
+        stride_expr = (
+            f"greatest(1, CAST(floor(count(*) / {int(target_k)}) AS BIGINT))"
+        )
+    ctes = [
+        """e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    p AS (
-      SELECT greatest(1, CAST(floor(count(*) / greatest(1, ceil(sqrt(count(*)))))
-               AS BIGINT)) AS stride
+    )""",
+        f"""p AS (
+      SELECT {stride_expr} AS stride
       FROM e
-    ),
-    seeds AS (
+    )""",
+        """seeds AS (
       SELECT vec_id AS cid, v AS cv FROM e, p
       WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
               % p.stride = 0
-    ),
-    subs AS (SELECT unnest(range({_PQ_M})) AS sub),
-    ev AS (
+    )""",
+        f"subs AS (SELECT unnest(range({_PQ_M})) AS sub)",
+        f"""ev AS (
       SELECT e.vec_id, s.sub, len(e.v) // {_PQ_M} AS dsub,
              list_slice(e.v, s.sub * (len(e.v) // {_PQ_M}) + 1,
                         (s.sub + 1) * (len(e.v) // {_PQ_M})) AS sv
       FROM e CROSS JOIN subs s
-    ),
-    cs AS (
+    )""",
+        f"""cs0 AS (
       SELECT c.cid, s.sub,
              list_slice(c.cv, s.sub * (len(c.cv) // {_PQ_M}) + 1,
                         (s.sub + 1) * (len(c.cv) // {_PQ_M})) AS csl
       FROM seeds c CROSS JOIN subs s
-    ),
-    scored AS (
-      SELECT ev.vec_id, ev.sub, cs.cid,
+    )""",
+    ]
+
+    def assign(r: int) -> list[str]:
+        return [
+            f"""scored{r} AS (
+      SELECT ev.vec_id, ev.sub, c.cid,
              round(list_sum(list_transform(range(1, ev.dsub + 1),
-                    i -> (ev.sv[i] - cs.csl[i]) * (ev.sv[i] - cs.csl[i]))), 6)
+                    i -> (ev.sv[i] - c.csl[i]) * (ev.sv[i] - c.csl[i]))), 6)
                AS d2
-      FROM ev JOIN cs USING (sub)
-    ),
-    codes AS (
+      FROM ev JOIN cs{r} c USING (sub)
+    )""",
+            f"""codes{r} AS (
       SELECT vec_id, sub, cid AS code, d2 AS err2
       FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                                      ORDER BY d2, cid) AS rn
-        FROM scored
+        FROM scored{r}
       ) WHERE rn = 1
+    )""",
+        ]
+
+    ctes += assign(0)
+    for r in range(1, steps + 1):
+        ctes.append(
+            f"""elems{r} AS (
+      SELECT c.sub, c.code, unnest(ev.sv) AS val,
+             unnest(range(len(ev.sv))) AS idx
+      FROM codes{r - 1} c
+      JOIN ev ON ev.vec_id = c.vec_id AND ev.sub = c.sub
     )"""
+        )
+        ctes.append(
+            f"""means{r} AS (
+      SELECT sub, code, idx,
+             round(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+      FROM elems{r} GROUP BY sub, code, idx
+    )"""
+        )
+        ctes.append(
+            f"""cs{r} AS (
+      SELECT code AS cid, sub, list(m ORDER BY idx) AS csl
+      FROM means{r} GROUP BY sub, code
+    )"""
+        )
+        ctes += assign(r)
+    ctes.append(f"cs AS (SELECT * FROM cs{steps})")
+    ctes.append(f"codes AS (SELECT * FROM codes{steps})")
+    return ",\n    ".join(ctes)
+
+
+_PQ_CTES = _pq_ctes(_PQ_LLOYD_STEPS)
 
 
 @register(
@@ -327,25 +391,18 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     class), and the argmin is one (d2, cid) struct-min hash-agg per
     (vec_id, sub) — map-side partials, shuffle carries N·M narrow
     rows, no window over data.  Encode work is N·M·nlist; nlist ≈ √N
-    here is the fixture-portable seed rule, but REAL PQ pins the
-    codebook size constant (K = 256), which makes encoding strictly
-    LINEAR in N — the same constant-stride dial as
-    ``_ivf_cells(target_cell=...)``.  Production adds per-subspace
-    Lloyd rounds (the _ivf_cells machinery verbatim, per slice)."""
-    ev, cs = _pq_slices(spark, sf_dir)
-    scored = ev.join(F.broadcast(cs), "sub").select(
-        "vec_id", "sub", "cid", _pq_d2("sv", "csl").alias("d2")
-    )
-    m = F.min(F.struct(F.col("d2"), F.col("cid")))
-    return (
-        scored.groupBy("vec_id", "sub")
-        .agg(m.alias("m"))
-        .select(
-            "vec_id",
-            F.col("sub").cast("bigint").alias("sub"),
-            F.col("m.cid").cast("bigint").alias("code"),
-            F.col("m.d2").alias("err2"),
-        )
+    here is the fixture-portable seed rule, and ``_pq_encode``'s
+    ``target_k=K`` knob pins the codebook size CONSTANT instead (real
+    PQ's K = 256 regime, which makes encoding strictly LINEAR in N —
+    the PQ twin of ``_ivf_cells(target_cell=...)``, property-tested).
+    ``_PQ_LLOYD_STEPS`` per-subspace Lloyd rounds refine the seed
+    codebooks (the production lever on shortlist quality)."""
+    codes, _, _ = _pq_encode(spark, sf_dir)
+    return codes.select(
+        "vec_id",
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("code").cast("bigint").alias("code"),
+        "err2",
     )
 
 
@@ -363,22 +420,34 @@ def _pq_d2(a: str, b: str):
     )
 
 
-def _pq_slices(spark: SparkSession, sf_dir: str):
-    """Spark twin of ``_PQ_CTES`` up to (ev, cs): the per-subspace
+def _pq_slices(
+    spark: SparkSession, sf_dir: str, target_k: int | None = None
+):
+    """Spark twin of ``_pq_ctes`` up to (ev, cs0): the per-subspace
     vector slices (vec_id, sub, sv) — EAGERLY checkpointed per the
-    HOF-collapse defense (CLAUDE.md) — and the hash-order codebook
-    slices (cid, sub, csl)."""
+    HOF-collapse defense (CLAUDE.md) — and the hash-order SEED codebook
+    slices (cid, sub, csl).  ``target_k`` derives the seed stride as
+    floor(N/K) instead of the √N rule, pinning the codebook size to ≈K
+    constant as the corpus grows (see :func:`_pq_ctes`)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    params = e.agg(F.count(F.lit(1)).alias("n")).select(
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.floor(
-                F.col("n") / F.greatest(F.lit(1.0), F.ceil(F.sqrt("n")))
-            ).cast("long"),
-        ).alias("stride")
-    )
+    if target_k is None:
+        params = e.agg(F.count(F.lit(1)).alias("n")).select(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    F.col("n") / F.greatest(F.lit(1.0), F.ceil(F.sqrt("n")))
+                ).cast("long"),
+            ).alias("stride")
+        )
+    else:
+        params = e.agg(F.count(F.lit(1)).alias("n")).select(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("n") / F.lit(int(target_k))).cast("long"),
+            ).alias("stride")
+        )
     id_hash = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10
     ).cast("long")
@@ -408,6 +477,81 @@ def _pq_slices(spark: SparkSession, sf_dir: str):
         )
     )
     return ev, cs
+
+
+def _pq_assign(ev: DataFrame, cs: DataFrame, keep_sv: bool = False):
+    """One PQ assignment pass (the Spark twin of scored{r}/codes{r}):
+    equi-join the slices against the BROADCAST codebook on the subspace
+    id, struct-min (d2, cid) argmin per (vec_id, sub) — map-side
+    partials, so the nlist-multiplied rows never hit the shuffle.
+    ``keep_sv`` carries the slice through for a following Lloyd mean
+    (constant within the group, same trick as _ivf_cells' first(v))."""
+    scored = ev.join(F.broadcast(cs), "sub").select(
+        "vec_id", "sub", "sv", "cid", _pq_d2("sv", "csl").alias("d2")
+    )
+    aggs = [F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m")]
+    if keep_sv:
+        aggs.append(F.first("sv").alias("sv"))
+    cols = [
+        "vec_id",
+        "sub",
+        F.col("m.cid").alias("code"),
+        F.col("m.d2").alias("err2"),
+    ]
+    if keep_sv:
+        cols.append("sv")
+    return scored.groupBy("vec_id", "sub").agg(*aggs).select(*cols)
+
+
+def _pq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    lloyd_steps: int = _PQ_LLOYD_STEPS,
+    target_k: int | None = None,
+):
+    """The ONE PQ construction both registered keys consume: returns
+    (codes, ev, cs) — the encoded corpus, the checkpointed slice frame,
+    and the FINAL per-subspace codebooks — off a SINGLE slice
+    materialization (round-8 verdict: sim_search_pq used to re-run
+    _pq_slices beside embedding_pq's, a redundant linear job).
+
+    Checkpoint discipline (all measured cliffs, CLAUDE.md): ``ev`` is
+    checkpointed in _pq_slices (HOF-collapse defense); the codebook is
+    checkpointed because a BROADCAST subtree re-executes its whole
+    child plan per consuming job (encode assign + sim_search_pq's ADC
+    lookup table = 2 consumers); each Lloyd step checkpoints the
+    assignment before the posexplode mean (Generate over a live
+    hash-aggregate is a measured 40× cliff).  Per step the shuffle
+    carries N·M (slice + code) rows — the same working set as the
+    encode itself; codebook state is M·nlist rows, never a second
+    corpus copy."""
+    ev, cs = _pq_slices(spark, sf_dir, target_k)
+    cs = cs.localCheckpoint()
+    for _ in range(lloyd_steps):
+        cur = _pq_assign(ev, cs, keep_sv=True).localCheckpoint()
+        means = (
+            cur.select("sub", "code", F.posexplode("sv").alias("idx", "val"))
+            .groupBy("sub", "code", "idx")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("m")
+            )
+        )
+        cs = (
+            means.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                    lambda s: s["m"],
+                ).alias("csl")
+            )
+            .select(F.col("code").alias("cid"), "sub", "csl")
+            .localCheckpoint()
+        )
+    return _pq_assign(ev, cs), ev, cs
 
 
 @register(
@@ -472,8 +616,9 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: per query one M×nlist ADC lookup TABLE from the query's
     exact slices to every codeword (|queries|·M·nlist rows — the
     centroid class → BROADCAST); corpus scoring is an equi-join of the
-    registered embedding_pq codes (shared :func:`_pq_slices` /
-    ``_PQ_CTES``, so search and encode can never disagree on the
+    registered embedding_pq codes (the ONE :func:`_pq_encode` call
+    supplies codes, slices and codebook off a single materialization —
+    mirrored by ``_pq_ctes``, so search and encode can never disagree on the
     codebook) against that broadcast with map-side partial
     aggregation — the shuffle carries |queries|·N narrow rows and the
     raw corpus vectors are NEVER touched in this stage; the shortlist
@@ -485,8 +630,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one final double round; the rerank distance is the round-6
     exact L2.  The oracle replays codebook, encoding, lookup table,
     ADC sum, shortlist and rerank end to end."""
-    codes = embedding_pq(spark, sf_dir)
-    ev, cs = _pq_slices(spark, sf_dir)
+    codes, ev, cs = _pq_encode(spark, sf_dir)
     q = ev.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "sub", "sv"
     )

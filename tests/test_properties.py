@@ -693,3 +693,50 @@ def test_ivf_ctes_steps0_runnable_and_matches_spark(spark, oracle, sf_dir):
         f"WITH {_ivf_cells_ctes(0)} SELECT count(*) FROM cents"
     ).fetchone()[0]
     assert cents.count() == n_seeds
+
+
+def test_pq_constant_codebook_knob_keeps_k_flat(spark):
+    # the constant-codebook linearization knob (_pq_encode(target_k=K),
+    # the PQ twin of _ivf_cells(target_cell=)): with the seed stride
+    # derived as floor(N/K), the codebook size stays ≈K as the corpus
+    # grows ×10 — so encode work N·M·K is LINEAR in N, real PQ's K=256
+    # regime.  Checked with SPARSE NON-DENSE ids (the id regime the
+    # hash-order seed rule exists for); default √N rule shown to grow
+    # alongside as the contrast.
+    from task_mapreduce_spark.operators.training_pipeline import _pq_encode
+
+    import os
+    import tempfile
+
+    k = 20
+
+    def codebook_sizes(n, tmp):
+        ids = spark.range(n).select((F.col("id") * 97 + 13).alias("vec_id"))
+        emb = ids.select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(1, 16), j -> cast("
+                " (conv(substr(md5(concat(cast(vec_id as string), '_', j)),"
+                "  1, 6), 16, 10) % 1000) / 1000.0 - 0.5 as float))"
+            ).alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+        emb.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/embeddings.parquet"
+        )
+        _, _, cs_knob = _pq_encode(spark, tmp, lloyd_steps=0, target_k=k)
+        _, _, cs_sqrt = _pq_encode(spark, tmp, lloyd_steps=0)
+        return (
+            cs_knob.select("cid").distinct().count(),
+            cs_sqrt.select("cid").distinct().count(),
+        )
+
+    with tempfile.TemporaryDirectory() as tmp_a, \
+            tempfile.TemporaryDirectory() as tmp_b:
+        k_small, sqrt_small = codebook_sizes(400, tmp_a)
+        k_big, sqrt_big = codebook_sizes(4000, tmp_b)
+    # E[codebook] = K at BOTH scales (Binomial thinning: 2x bounds)
+    assert k / 2 <= k_small <= 2 * k, k_small
+    assert k / 2 <= k_big <= 2 * k, k_big
+    # while the default √N codebook grows ≈√10× across the same jump
+    assert sqrt_big >= 2 * sqrt_small, (sqrt_small, sqrt_big)
