@@ -1,0 +1,168 @@
+"""Whole-ANN-family recall scoreboard (round 9).
+
+``sim_eval_recall`` (curation.py) evaluates the sign-LSH arm only;
+this module adds the one oracle-checked scoreboard the round-8 verdict
+asked for: recall@k of EVERY registered ANN arm — hyperplane LSH
+(sim_search_ann), IVF cells (sim_search_ivf) and two-stage PQ
+(sim_search_pq) — against the exact ground truth each arm is defined
+over, embedding the registered operators/SQL verbatim so the eval can
+never drift from what the operators ship.
+
+Lives in its own module because it composes oracles from llm_extras,
+llm_pipeline AND training_pipeline: it must import after all three
+(see operators/__init__.py's ordering note for curation).
+
+No reference citation is possible: ``/root/reference/`` is an empty
+checkout (SURVEY.md §0); the capability bar is SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from task_mapreduce_spark.operators.llm_extras import (
+    sim_search_ann,
+    sim_search_ivf,
+)
+from task_mapreduce_spark.operators.llm_pipeline import sim_search_topk
+from task_mapreduce_spark.operators.training_pipeline import (
+    _PQ_N_QUERIES,
+    _PQ_TOP_K,
+    _pq_d2,
+    sim_search_pq,
+)
+from task_mapreduce_spark.registry import ORACLES, register
+from task_mapreduce_spark.tables import load
+
+
+def _recall_multi_oracle() -> str:
+    # every arm reuses its registered oracle verbatim; the cosine arms
+    # (ann, ivf) share sim_search_topk's registered exact ground truth,
+    # the PQ arm (L2-ranked) gets the exact L2 top-k — the same
+    # round-6 / vec_id-tiebreak discipline as sim_search_pq's rerank
+    topk_sql = ORACLES["sim_search_topk"]
+    ann_sql = ORACLES["sim_search_ann"]
+    ivf_sql = ORACLES["sim_search_ivf"]
+    pq_sql = ORACLES["sim_search_pq"]
+    return f"""
+    WITH exact_cos AS (SELECT query_id, vec_id FROM ({topk_sql})),
+    ann_k AS (SELECT query_id, vec_id FROM ({ann_sql})),
+    ivf_k AS (SELECT query_id, vec_id FROM ({ivf_sql})),
+    pq_k AS (SELECT query_id, vec_id FROM ({pq_sql})),
+    e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2
+           WHERE vec_id < {_PQ_N_QUERIES}),
+    exact_l2 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q2.query_id, e2.vec_id,
+               row_number() OVER (PARTITION BY q2.query_id
+                 ORDER BY round(list_sum(list_transform(
+                            range(1, len(e2.v) + 1),
+                            i -> (e2.v[i] - q2.qv[i])
+                                 * (e2.v[i] - q2.qv[i]))), 6),
+                          e2.vec_id) AS rk
+        FROM e2 CROSS JOIN q2
+        WHERE e2.vec_id <> q2.query_id
+      ) WHERE rk <= {_PQ_TOP_K}
+    ),
+    ex AS (
+      SELECT 'ann' AS arm, query_id, vec_id FROM exact_cos
+      UNION ALL SELECT 'ivf', query_id, vec_id FROM exact_cos
+      UNION ALL SELECT 'pq', query_id, vec_id FROM exact_l2
+    ),
+    ap AS (
+      SELECT 'ann' AS arm, query_id, vec_id FROM ann_k
+      UNION ALL SELECT 'ivf', query_id, vec_id FROM ivf_k
+      UNION ALL SELECT 'pq', query_id, vec_id FROM pq_k
+    )
+    SELECT ex.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(ap.vec_id) AS DOUBLE) / COUNT(*), 6)
+             AS recall_at_k
+    FROM ex LEFT JOIN ap
+      ON ex.arm = ap.arm AND ex.query_id = ap.query_id
+         AND ex.vec_id = ap.vec_id
+    GROUP BY ex.arm
+    """
+
+
+@register("sim_eval_recall_multi", oracle=_recall_multi_oracle())
+def sim_eval_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of ALL THREE registered ANN arms in one keyed output:
+    one row per arm (ann = hyperplane LSH, ivf = centroid cells, pq =
+    two-stage ADC+rerank) with micro-averaged recall over the query
+    set — the single scoreboard an ANN deployment watches when tuning
+    one index family against another.
+
+    Every arm IS the registered operator (and the oracle embeds the
+    registered SQL verbatim), so this measures exactly what ships.
+    The cosine arms share sim_search_topk's exact ground truth — built
+    ONCE and fanned to both arms with an in-row explode of a 2-literal
+    array (safe Generate: constant non-empty array), not a second
+    corpus-scan subtree.  The PQ arm ranks by squared L2, so its
+    ground truth is the exact L2 top-k (broadcast 5-probe scan, the
+    sim_search_topk shape, round-6 + vec_id tiebreak — sim_search_pq's
+    own rerank discipline).  Beyond the arms, everything is
+    metadata-sized: each arm collapses to k·|queries| rows before the
+    hit join, hits counted via null-skipping COUNT over the left join
+    (the sim_eval_recall pattern), final output is 3 rows."""
+    exact_cos = sim_search_topk(spark, sf_dir).select(
+        F.explode(F.array(F.lit("ann"), F.lit("ivf"))).alias("arm"),
+        "query_id",
+        "vec_id",
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact_l2 = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.lit("pq").alias("arm"),
+            "query_id",
+            "vec_id",
+            _pq_d2("v", "qv").alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _PQ_TOP_K)
+        .select("arm", "query_id", "vec_id")
+    )
+    ex = exact_cos.unionByName(exact_l2)
+    ap = (
+        sim_search_ann(spark, sf_dir)
+        .select(F.lit("ann").alias("arm"), "query_id", "vec_id")
+        .unionByName(
+            sim_search_ivf(spark, sf_dir).select(
+                F.lit("ivf").alias("arm"), "query_id", "vec_id"
+            )
+        )
+        .unionByName(
+            sim_search_pq(spark, sf_dir).select(
+                F.lit("pq").alias("arm"), "query_id", "vec_id"
+            )
+        )
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ex.join(ap, ["arm", "query_id", "vec_id"], "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "arm",
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall_at_k"),
+        )
+    )

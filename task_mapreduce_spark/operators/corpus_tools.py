@@ -362,7 +362,14 @@ def rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sequence(...)` array is the size-preserving safe case of the
     InferFiltersFromGenerate trap (CLAUDE.md): the inferred
     `size(·)>0` filter constant-folds instead of going quadratic."""
-    d = load(spark, sf_dir, "documents")
+    return _chunk_frame(load(spark, sf_dir, "documents"))
+
+
+def _chunk_frame(d: DataFrame) -> DataFrame:
+    """rag_chunk's in-row decomposition over an arbitrary (doc_id,
+    text, ...) frame — factored so the streaming twin (the foreachBatch
+    chunk-dedup test) chunks its micro-batches with the IDENTICAL
+    rule the batch keys use."""
     docs = d.select("doc_id", F.split("text", " ").alias("toks"))
     starts = docs.select(
         "doc_id",

@@ -239,7 +239,7 @@ _PQ_M = 8          # subspaces: dim-64 fixture → 8 dims per subspace
 _PQ_N_QUERIES = 5  # the ANN-family query convention (vec_id < 5)
 _PQ_TOP_K = 10
 _PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
-_PQ_LLOYD_STEPS = 0  # per-subspace k-means rounds over the hash seeds
+_PQ_LLOYD_STEPS = 1  # per-subspace k-means rounds over the hash seeds
 
 
 def _pq_ctes(steps: int = _PQ_LLOYD_STEPS, target_k: int | None = None) -> str:
@@ -458,6 +458,14 @@ def _pq_slices(
     )
     dsub = F.expr(f"size(v) div {_PQ_M}")
     sub_ids = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub")
+    # explicit-COUNT round-robin repartition before the checkpoint: the
+    # slice frame inherits the parquet scan's partitioning (1-2 tasks at
+    # fixture scale), and every downstream scoring join is tiny in BYTES
+    # but heavy in per-row CPU (N·M·nlist interpreted-HOF d2 folds) — the
+    # CLAUDE.md serialize-killer class.  REPARTITION_BY_NUM is exempt
+    # from AQE coalescing, so the assigns actually fan out (x10 stress:
+    # the whole encode ran on 2 tasks before this).
+    par = spark.sparkContext.defaultParallelism
     ev = (
         e.select("vec_id", "v", sub_ids)
         .select(
@@ -465,6 +473,7 @@ def _pq_slices(
             "sub",
             F.slice("v", F.col("sub") * dsub + 1, dsub).alias("sv"),
         )
+        .repartition(par)
         .localCheckpoint()
     )
     dsub_c = F.expr(f"size(cv) div {_PQ_M}")
@@ -607,11 +616,13 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve half of embedding_pq, and the standard PQ deployment shape
     (the index holds M codes per vector, ~8 B instead of 256 B; raw
     vectors are fetched only for the ~50 shortlisted candidates per
-    query).  Measured recall@10 vs exact L2: 0.62 at sf0.001, 0.52 at
-    sf0.01 with untrained (hash-sampled) codebooks — ADC alone sits at
-    0.16–0.20, which is exactly why real deployments ALWAYS rerank;
-    per-subspace Lloyd rounds (the _ivf_cells machinery per slice)
-    are the production lever on the shortlist side.
+    query).  Measured recall@10 vs exact L2 with ONE per-subspace Lloyd
+    round (``_PQ_LLOYD_STEPS``, round 9): 0.56 at sf0.001, 0.68 at
+    sf0.01 — the untrained seed codebooks sat at 0.62/0.52, so the
+    round bought +0.16 at the driver's correctness scale; ADC alone
+    sits at 0.16–0.20, which is exactly why real deployments ALWAYS
+    rerank.  More Lloyd rounds remain the production lever on the
+    shortlist side (the dial is parameterized on both engines).
 
     Shape: per query one M×nlist ADC lookup TABLE from the query's
     exact slices to every codeword (|queries|·M·nlist rows — the

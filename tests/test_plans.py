@@ -164,6 +164,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "embedding_pq",         # 1-row stride-params crossJoin (seed rule)
         "sim_search_pq",        # shares embedding_pq's 1-row params crossJoin
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
+        "sim_eval_recall_multi",  # embeds topk/ann/ivf/pq arms + 5-probe L2 scan
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
@@ -562,10 +563,15 @@ _BROADCAST_HINT_BUDGET = {
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
     "mine_hard_negatives": (1, "√N centroid rows (shares sim_search_ivf's)"),
     "sim_eval_recall": (4, "composes topk probe + ann params/probe arms"),
+    "sim_eval_recall_multi": (24, "sum of the embedded arms' own budgets"
+                                  " (topk + ann + ivf + pq, each verbatim)"
+                                  " + the |q|-row exact-L2 probe broadcast"),
     "pipeline_retrieval_e2e": (3, "1-row query vector + bm25 stats"),
-    "embedding_pq": (2, "1-row stride params + M·√N-row sliced codebook"),
-    "sim_search_pq": (6, "encode arm's 2 + ADC lookup table + |q|·k' shortlist"
-                         " + |q|-row query vectors (all centroid/metadata class)"),
+    "embedding_pq": (3, "M·√N-row codebook broadcast per assign (seed +"
+                        " 1 Lloyd re-assign; params hidden by checkpoints)"),
+    "sim_search_pq": (6, "encode arm's assigns + ADC lookup table + |q|·k'"
+                         " shortlist + |q|-row query vectors (all"
+                         " centroid/metadata class)"),
     # eval-set / benchmark sides: MBs by nature
     "decontaminate_ngrams": (1, "benchmark eval-set shingles"),
 }

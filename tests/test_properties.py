@@ -621,14 +621,26 @@ _PQ_VECS = st.lists(
 def test_embedding_pq_matches_pure_python_reference(spark, tmp_path, vecs):
     # independent implementation of the documented PQ semantics
     # (hash-order stride seeds, per-subspace slices, squared-L2 argmin
-    # with codeword-id tiebreak).  INTEGER-valued dim-16 vectors make
-    # every distance an exact integer, so the round-6/tiebreak layer
-    # cannot blur the comparison and exact ties genuinely exercise the
-    # cid-min rule (small ints collide often).
+    # with codeword-id tiebreak, ONE per-subspace Lloyd round).
+    # INTEGER-valued dim-16 vectors make every seed-stage distance an
+    # exact integer, so ties genuinely exercise the cid-min rule (small
+    # ints collide often); the Lloyd means go through the same
+    # shortest-repr HALF_UP rounding Spark's round() applies
+    # (BigDecimal.valueOf semantics), so the refined stage is replayed
+    # bit-exactly too.
     import hashlib
     import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
 
     from task_mapreduce_spark.registry import QUERIES
+
+    def spark_round(x: float, d: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(f"1e-{d}"), rounding=ROUND_HALF_UP
+            )
+        )
 
     n = len(vecs)
     spark.createDataFrame(
@@ -645,7 +657,7 @@ def test_embedding_pq_matches_pure_python_reference(spark, tmp_path, vecs):
         if int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % stride == 0
     ]
     dsub = 16 // 8
-    want = {}
+    assign0 = {}
     for i, v in enumerate(vecs):
         for sub in range(8):
             sv = v[sub * dsub : (sub + 1) * dsub]
@@ -659,7 +671,32 @@ def test_embedding_pq_matches_pure_python_reference(spark, tmp_path, vecs):
                 )
                 for c in seeds
             )
-            want[(i, sub)] = (best[1], float(best[0]))
+            assign0[(i, sub)] = best[1]
+
+    # one Lloyd round: per-(sub, code) element-wise mean (exact integer
+    # sum → one double division → round 9), then re-assign on the
+    # sequential-fold rounded squared-L2
+    members = defaultdict(list)
+    for (i, sub), c in assign0.items():
+        members[(sub, c)].append(vecs[i][sub * dsub : (sub + 1) * dsub])
+    cbook = defaultdict(dict)
+    for (sub, c), svs in members.items():
+        cbook[sub][c] = [
+            spark_round(sum(col) / len(col), 9) for col in zip(*svs)
+        ]
+
+    def d2(sv, cw):
+        acc = 0.0
+        for a, b in zip(sv, cw):
+            acc = acc + (a - b) * (a - b)
+        return spark_round(acc, 6)
+
+    want = {}
+    for i, v in enumerate(vecs):
+        for sub in range(8):
+            sv = v[sub * dsub : (sub + 1) * dsub]
+            best = min((d2(sv, cw), c) for c, cw in cbook[sub].items())
+            want[(i, sub)] = (best[1], best[0])
 
     got = {
         (r["vec_id"], r["sub"]): (r["code"], r["err2"])

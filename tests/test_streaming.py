@@ -501,3 +501,54 @@ def test_foreachbatch_upsert_recovers_from_mid_stream_crash(spark, sf_dir, tmp_p
         for r in latest_per_user(purchases).collect()
     }
     assert got == want
+
+
+def test_foreachbatch_chunk_dedup_matches_batch_content(spark, sf_dir, tmp_path):
+    """Streaming twin of dedup_chunks (the round-8 verdict's open
+    decision): chunk dedup over ARRIVING documents is first-accepted-
+    wins per content digest against persisted state — the foreachBatch
+    idiom stream_foreachbatch_upsert already exercises, with the
+    micro-batch chunked by the IDENTICAL _chunk_frame rule the batch
+    key uses.  Owner IDENTITY is arrival-order-dependent by design
+    (the batch key's global-min owner needs the full corpus), but the
+    deduped CONTENT is not: after draining the log, the kept digest
+    set must equal the batch key's kept digest set, with exactly one
+    owner per digest and the same total chunk volume seen."""
+    from task_mapreduce_spark.operators.corpus_tools import _chunk_frame
+    from task_mapreduce_spark.registry import QUERIES
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.repartition(3).write.mode("overwrite").parquet(f"{tmp_path}/docs_src")
+    src = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/docs_src")
+    )
+    state: dict[str, tuple] = {}  # digest -> (batch_id, doc_id, chunk_id)
+    batch_sizes: list[int] = []
+
+    def dedup_batch(batch_df, batch_id):
+        rows = (
+            _chunk_frame(batch_df)
+            .select("doc_id", "chunk_id", F.sha2("chunk_text", 256).alias("h"))
+            .collect()
+        )
+        batch_sizes.append(len(rows))
+        # within a micro-batch the batch key's own tiebreak applies;
+        # across batches first arrival wins (setdefault = persisted
+        # digest-keyed state, the dedup_incremental index discipline)
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            state.setdefault(r["h"], (batch_id, r["doc_id"], r["chunk_id"]))
+
+    q = (
+        src.writeStream.foreachBatch(dedup_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    assert len(batch_sizes) >= 2, "stream did not split into micro-batches"
+
+    batch_rows = QUERIES["dedup_chunks"](spark, sf_dir).collect()
+    assert set(state) == {r["h"] for r in batch_rows if r["keep"]}
+    assert sum(batch_sizes) == len(batch_rows)

@@ -335,13 +335,27 @@ def test_embedding_pq_invariants(spark, sf_dir):
     import math
     stride = max(1, math.floor(n / max(1.0, math.ceil(math.sqrt(n)))))
     seeds = {i for i in set(ids) if h48(i) % stride == 0}
+    # codeword IDS are preserved through Lloyd refinement (empty
+    # codewords drop), so codes stay a subset of the hash-order seeds
     assert codes <= seeds
-    # a seed vector's own slice is at distance 0: seeds encode with err2=0
-    by_vec = {}
-    for r in rows:
-        by_vec.setdefault(r["vec_id"], []).append(r)
+    # at steps=0 a seed vector's own slice is at distance 0 (the
+    # self-encode identity the codebook rule rests on) ...
+    from task_mapreduce_spark.operators.training_pipeline import _pq_encode
+
+    codes0, _, _ = _pq_encode(spark, sf_dir, lloyd_steps=0)
+    rows0 = codes0.collect()
+    by_vec0 = {}
+    for r in rows0:
+        by_vec0.setdefault(r["vec_id"], []).append(r)
     for s in seeds:
-        assert all(r["err2"] == 0.0 for r in by_vec[s]), s
+        assert all(r["err2"] == 0.0 for r in by_vec0[s]), s
+    # ... and each Lloyd round is monotone: total distortion with the
+    # refined codebooks never exceeds the seed-codebook distortion
+    # (assignment and mean steps both non-increasing; tiny epsilon for
+    # the round-9/round-6 layers)
+    tot0 = sum(r["err2"] for r in rows0)
+    tot1 = sum(r["err2"] for r in rows)
+    assert tot1 <= tot0 + 1e-3, (tot1, tot0)
 
 
 def test_sim_search_pq_rerank_recall_and_invariants(spark, sf_dir):
@@ -380,7 +394,9 @@ def test_sim_search_pq_rerank_recall_and_invariants(spark, sf_dir):
         ]
         rec += len(got & set(exact)) / _PQ_TOP_K
     rec /= len(by_q)
-    # measured 0.62 at sf0.001 / 0.52 at sf0.01 (untrained hash-sampled
-    # codebooks + 50-candidate exact rerank); 0.45 pins the two-stage
-    # pattern actually working without over-fitting the fixture
-    assert rec >= 0.45, rec
+    # measured 0.56 at sf0.001 / 0.68 at sf0.01 with ONE per-subspace
+    # Lloyd round (round 9; untrained seed codebooks sat at 0.62/0.52 —
+    # the round bought +0.16 at the driver's correctness scale) + the
+    # 50-candidate exact rerank; 0.5 pins the two-stage pattern working
+    # without over-fitting the fixture
+    assert rec >= 0.5, rec
