@@ -1708,7 +1708,14 @@ def _ivf_cells(
     # round 8; the CollapseProject sibling of the element_at trap in
     # CLAUDE.md).  Materializing (vec_id, v, nrm) once is the standard
     # IVF-build working set (~N·dim floats, the index itself).
-    e = e.localCheckpoint()
+    # The explicit-COUNT round-robin repartition first (round 9): the
+    # embeddings fixture is ONE parquet file, so the checkpointed frame
+    # inherits a 1-task scan and every assign stage (N×nlist
+    # interpreted-HOF dots fused with the broadcast join's partial agg)
+    # serializes — the CLAUDE.md serialize-killer class, same fix as
+    # the PQ slice frame (which measured ≈×8 at the x10 scale).
+    par = e.sparkSession.sparkContext.defaultParallelism
+    e = e.repartition(par).localCheckpoint()
     if target_cell is None:
         params = e.agg(F.count(F.lit(1)).alias("n")).select(
             F.greatest(
