@@ -77,7 +77,16 @@ def _shingles(d: DataFrame) -> DataFrame:
 
     Single-token docs fall back to their token set: sequence(0, -1)
     would otherwise produce [0, -1] and element_at(toks, 0) aborts the
-    whole job under ANSI semantics."""
+    whole job under ANSI semantics.
+
+    The raw docs are round-robin repartitioned FIRST (explicit-COUNT,
+    AQE-exempt — the CLAUDE.md serialize-killer defense): the documents
+    fixture is one parquet file, so the per-doc shingle construction
+    (split + bigram transform + in-row distinct, the CPU-heavy part of
+    every consumer) otherwise runs on a single task.  The shuffle moves
+    only the raw text rows (~600 KB at sf0.1) and the checkpointed
+    frame every dedup key consumes inherits the 32-way spread
+    (dedup_near_minhash's shingle stage measured 3.0 s → 0.4 s)."""
     toks = F.split("text", " ")
     bigrams = F.array_distinct(
         F.transform(
@@ -86,7 +95,8 @@ def _shingles(d: DataFrame) -> DataFrame:
         )
     )
     sh = F.when(F.size(toks) >= 2, bigrams).otherwise(F.array_distinct(toks))
-    return d.select("doc_id", sh.alias("shingles"))
+    par = d.sparkSession.sparkContext.defaultParallelism
+    return d.repartition(par).select("doc_id", sh.alias("shingles"))
 
 
 def minhash_edges(
