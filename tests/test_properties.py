@@ -657,9 +657,14 @@ def test_embedding_pq_matches_pure_python_reference(spark, tmp_path, vecs):
         if int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % stride == 0
     ]
     dsub = 16 // 8
+    # the hash-order draw CAN be empty on tiny corpora (no id hash
+    # ≡ 0 mod stride): both engines then encode nothing — the
+    # reference must mirror that, not crash on min() of nothing
     assign0 = {}
     for i, v in enumerate(vecs):
         for sub in range(8):
+            if not seeds:
+                break
             sv = v[sub * dsub : (sub + 1) * dsub]
             best = min(
                 (
@@ -694,6 +699,8 @@ def test_embedding_pq_matches_pure_python_reference(spark, tmp_path, vecs):
     want = {}
     for i, v in enumerate(vecs):
         for sub in range(8):
+            if not cbook[sub]:
+                continue
             sv = v[sub * dsub : (sub + 1) * dsub]
             best = min((d2(sv, cw), c) for c, cw in cbook[sub].items())
             want[(i, sub)] = (best[1], best[0])
