@@ -100,7 +100,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     path).  Output mirrors dedup_near_minhash: (doc_id, cluster_id,
     n_dups), one row per doc."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
+    # round-robin spread before the 48 per-doc HOF bit-folds below: the
+    # single-file documents scan is 1 task (CLAUDE.md serialize-killer,
+    # no-AQE variant — same fix as _shingles; fp stage was the key's
+    # heaviest single stage)
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par).select(
         "doc_id",
         F.transform(
             F.array_distinct(F.split("text", " ")),
