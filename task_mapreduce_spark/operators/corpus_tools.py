@@ -886,6 +886,99 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_eval_oracle(k: int) -> str:
+    """Vocabulary-scoreboard oracle: the SAME unrolled training CTEs
+    (shared generator — eval, train and apply can never disagree on the
+    merge table), then frequency-weighted corpus metrics off the final
+    w{k} segmentation table."""
+    ctes, _ = _bpe_round_ctes(k)
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain},
+    v AS (
+      SELECT w, freq,
+             CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tok,
+             CAST(length(w) AS BIGINT) AS n_chars
+      FROM w{k}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(freq * n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN n_tok = 1 THEN freq ELSE 0 END) AS BIGINT)
+             AS n_words_single_token,
+           CAST(SUM(CASE WHEN n_tok = n_chars THEN freq ELSE 0 END) AS BIGINT)
+             AS n_words_char_fallback,
+           round(CAST(SUM(freq * n_tok) AS DOUBLE) / SUM(freq), 6)
+             AS fertility,
+           round(CAST(SUM(freq * n_chars) AS DOUBLE) / SUM(freq * n_tok), 6)
+             AS chars_per_token,
+           round(CAST(SUM(CASE WHEN n_tok = 1 THEN freq ELSE 0 END)
+                   AS DOUBLE) / SUM(freq), 6) AS coverage_single,
+           round(CAST(SUM(CASE WHEN n_tok = n_chars THEN freq ELSE 0 END)
+                   AS DOUBLE) / SUM(freq), 6) AS fallback_rate
+    FROM v
+    """
+
+
+@register("tokenizer_eval_vocab", oracle=_bpe_eval_oracle(_BPE_MERGES))
+def tokenizer_eval_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality scoreboard over the LEARNED BPE vocabulary —
+    the metrics every tokenizer team monitors before shipping a merge
+    table, completing the per-family eval set (ANN has
+    sim_eval_recall_multi, dedup has dedup_eval_prf): **fertility**
+    (BPE tokens per pretokenizer word — the model-token budget
+    multiplier), **chars_per_token** (compression the vocabulary
+    buys), **coverage_single** (fraction of word occurrences merged to
+    ONE token — vocabulary hit rate), and **fallback_rate** (fraction
+    still fully character-split — the byte/char-fallback pressure that
+    says the merge budget K is too small), plus the raw integer
+    totals each ratio derives from.
+
+    Shape: everything derives from the shared :func:`_bpe_train` final
+    vocabulary — the ONE corpus-scale word-count job plus K
+    vocabulary-sized argmax jobs the train/apply keys already run; the
+    eval itself is ONE frequency-weighted hash-agg over |vocab| rows
+    collapsing to a single output row (metadata-sized at any corpus
+    size — the eval-key discipline).  Ratios are exact-integer
+    quotients rounded to 6 on both sides; the oracle re-learns the
+    merges through the SAME unrolled CTE generator, so eval, train and
+    apply can never disagree on the table.  Empty corpus → one
+    all-NULL-ratio row on both engines (global agg over zero rows)."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    v = vocab.select(
+        "freq",
+        F.size(F.split(F.trim(F.col("seq")), " ")).cast("bigint").alias("n_tok"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    single = F.when(F.col("n_tok") == 1, F.col("freq")).otherwise(F.lit(0))
+    fallback = F.when(F.col("n_tok") == F.col("n_chars"), F.col("freq")).otherwise(
+        F.lit(0)
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_tok")).cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("bigint").alias("n_chars"),
+        F.sum(single).cast("bigint").alias("n_words_single_token"),
+        F.sum(fallback).cast("bigint").alias("n_words_char_fallback"),
+    ).select(
+        "*",
+        F.round(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("n_words_single_token").cast("double") / F.col("n_words"), 6
+        ).alias("coverage_single"),
+        F.round(
+            F.col("n_words_char_fallback").cast("double") / F.col("n_words"), 6
+        ).alias("fallback_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-document keyword extraction (top-k TF-IDF terms)
 # ---------------------------------------------------------------------------
