@@ -259,6 +259,31 @@ def test_tokenizer_apply_bpe_classic_corpus_token_budget(spark, tmp_path):
     assert out == {0: (7, 5 * 1 + 2 * 3), 1: (9, 6 * 1 + 3 * 3)}
 
 
+def test_tokenizer_eval_vocab_classic_corpus_golden(spark, tmp_path):
+    # hand-derived off the trainer golden's segmentations:
+    # low->[low](x5), lower->[low,e,r](x2), newest->[newest](x6),
+    # widest->[w,i,dest](x3): 16 words, 26 tokens, 79 chars; 11 word
+    # occurrences hit a single token, none stay fully char-split.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        ["low " * 5 + "lower " * 2, "newest " * 6 + "widest " * 3],
+    )
+    r = QUERIES["tokenizer_eval_vocab"](spark, sf).collect()[0]
+    assert (
+        r["n_word_types"],
+        r["n_words"],
+        r["n_bpe_tokens"],
+        r["n_chars"],
+        r["n_words_single_token"],
+        r["n_words_char_fallback"],
+    ) == (4, 16, 26, 79, 11, 0)
+    assert r["fertility"] == 1.625
+    assert r["chars_per_token"] == 3.038462
+    assert r["coverage_single"] == 0.6875
+    assert r["fallback_rate"] == 0.0
+
+
 def test_bpe_pair_exhausted_corpus(spark, tmp_path):
     # 'ab ab ab' supports exactly ONE merge (a,b) — rounds 2..8 have an
     # empty argmax.  The Spark loop breaks; the oracle's rounds must
