@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from task_mapreduce_spark.operators.llm_extras import (
     _DECON_SHINGLES_SQL,
+    _FP_WINDOW,
     _doc_token_sets,
     _min_label_cc,
     _rk_window_frame,
@@ -926,4 +927,291 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = _contract_merge(d.select("doc_id"), prior, new_edges)
     return merged.select(
         "doc_id", F.col("label").cast("bigint").alias("component_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_exact — ExactSubstr-style repeated-span detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             list_transform(toks, x -> length(x) * 131 + ascii(x)) AS cs
+      FROM t
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(cs) - {_FP_WINDOW - 1})) AS i,
+             cs
+      FROM codes
+      WHERE len(cs) >= {_FP_WINDOW}
+    ),
+    hashes AS (
+      SELECT doc_id, i,
+             ((cs[i] * 131 + cs[i+1]) * 131 + cs[i+2]) * 131 + cs[i+3] AS h
+      FROM wins
+    ),
+    rep_h AS (SELECT h FROM hashes GROUP BY h HAVING COUNT(*) >= 2),
+    rep AS (SELECT doc_id, i FROM hashes JOIN rep_h USING (h)),
+    isl AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM rep
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {_FP_WINDOW - 1} AS BIGINT) AS span_end,
+           CAST(MAX(i) - MIN(i) + {_FP_WINDOW} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN detection — the suffix-array "ExactSubstr"
+    dedup pass of Lee et al. 2022 (arXiv:2107.06499, public),
+    re-expressed for a shuffle engine: instead of one giant suffix
+    array (which needs global order and does not shard), every 4-token
+    window gets the repo's engine-portable Rabin-Karp anchor hash
+    (`_rk_window_frame`, shared verbatim with text_fingerprint /
+    decontaminate_ngrams / text_boilerplate_ngrams), a window is
+    "repeated" when its hash occurs ≥ 2 times ANYWHERE in the corpus
+    (cross- or intra-document — ExactSubstr semantics, unlike
+    text_boilerplate's ≥3-distinct-DOCS document-frequency screen),
+    and maximal repeated spans are recovered per document by merging
+    runs of consecutive repeated window starts (gaps-and-islands:
+    ``i - row_number()`` is constant exactly on a consecutive run).
+    A span row (doc_id, span_start, span_end) is precisely the byte
+    range ExactSubstr would cut before training.
+
+    100 TB shape: word-count on the window hash (map-side partials) →
+    one h-keyed equi-join back to the positional stream (both sides
+    hash-partitioned on h, no broadcast of anything corpus-sized) →
+    per-doc window over only the REPEATED positions (a small fraction
+    of the corpus by construction; partition key doc_id, order key i
+    unique in-partition).  Every stage is linear in corpus tokens; the
+    only super-linear arm in true ExactSubstr — the suffix sort — is
+    exactly what the anchor-hash decomposition removes.  The packed
+    window frame is eagerly checkpointed once and feeds both the count
+    and probe sides (the text_boilerplate multi-consumer discipline);
+    posexplode_outer per the InferFiltersFromGenerate invariant.  The
+    oracle replays hashing, counting, and island merging verbatim."""
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        _rk_window_frame(d.repartition(par), distinct=False)
+        .localCheckpoint()
+    )
+    flat = sh.select(
+        "doc_id", F.posexplode_outer("hs").alias("pos", "h")
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), "h")
+    rep_h = (
+        flat.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    rep = flat.join(rep_h, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = rep.withColumn("g", F.col("i") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "g")
+        .agg(F.min("i").alias("mn"), F.max("i").alias("mx"))
+        .select(
+            "doc_id",
+            F.col("mn").cast("bigint").alias("span_start"),
+            (F.col("mx") + (_FP_WINDOW - 1)).cast("bigint").alias("span_end"),
+            (F.col("mx") - F.col("mn") + _FP_WINDOW)
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# select_dsir — importance-resampling data selection (DSIR)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256          # hashed bigram feature buckets
+_DSIR_TARGET_LANG = "en"     # fixture stand-in for the target domain
+_DSIR_KEEP_NUM = 1           # keep top 1/5 per source (rank*5 <= n, exact
+_DSIR_KEEP_DEN = 5           # integer arithmetic in both engines)
+
+
+def _dsir_oracle() -> str:
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    f AS (
+      SELECT doc_id, source, lang,
+             ('0x' || substr(md5(g), 1, 12))::BIGINT % {b} AS b
+      FROM (
+        SELECT doc_id, source, lang,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM t
+      )
+    ),
+    spine AS (SELECT unnest(generate_series(0, {b - 1})) AS b),
+    rawc AS (SELECT b, COUNT(*) AS cr FROM f GROUP BY b),
+    tgtc AS (SELECT b, COUNT(*) AS ct FROM f
+             WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    dist AS (
+      SELECT s.b, COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+      FROM spine s LEFT JOIN rawc USING (b) LEFT JOIN tgtc USING (b)
+    ),
+    lr AS (
+      SELECT b,
+             CAST(round((ln((ct + 1.0) / (SUM(ct) OVER () + {b}.0))
+                       - ln((cr + 1.0) / (SUM(cr) OVER () + {b}.0)))
+                  * 1000000) AS BIGINT) AS lr_micros
+      FROM dist
+    ),
+    db AS (
+      SELECT doc_id, source, b, COUNT(*) AS n FROM f
+      GROUP BY doc_id, source, b
+    ),
+    sc AS (
+      SELECT doc_id, source, SUM(n * lr_micros) AS score
+      FROM db JOIN lr USING (b) GROUP BY doc_id, source
+    ),
+    rk AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM sc
+    )
+    SELECT doc_id, source, CAST(score AS BIGINT) AS dsir_score,
+           CAST(r AS BIGINT) AS sel_rank,
+           (r * {_DSIR_KEEP_DEN} <= n_src * {_DSIR_KEEP_NUM}) AS selected
+    FROM rk
+    """
+
+
+@register("select_dsir", oracle=_dsir_oracle())
+def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169, public): score every raw document by the
+    log-likelihood ratio of a TARGET-domain hashed-n-gram unigram model
+    over a RAW-pool model, then keep the top slice per shard — the
+    standard "make web data look like the target domain" selection
+    pass that runs between quality filtering and dedup.  Fixture
+    instantiation: features are word bigrams hashed into 256 buckets
+    with the repo's portable 48-bit md5 hash; the target domain is
+    ``lang = 'en'``; the raw pool is the whole corpus; the kept slice
+    is the top 1/5 per ``source`` (per-shard, the balanced-selection
+    form — and deliberately NOT a global rank, which would funnel the
+    corpus through one partition).
+
+    100 TB shape: the per-doc bucket array is built in-row scan-side
+    (one md5 per bigram, done ONCE on a round-robin-spread checkpoint —
+    the serialize-killer discipline — then consumed by all three
+    aggregates); both feature distributions are word-count-shaped aggs
+    onto a FIXED 256-row spine, so the log-ratio table is metadata no
+    matter the corpus size and its equi-join onto per-doc counts is
+    AQE-broadcastable without a forced hint.  Scoring is an exact
+    integer dot product (per-bucket log-ratio fixed to 1e-6 units
+    BEFORE aggregation — the functions/exact.py discipline, so
+    partial-merge order can never drift the sum); ranking windows
+    partition by source.  Add-1 smoothing keeps every bucket finite.
+    The oracle replays hashing, smoothing, scoring, and ranking
+    verbatim; the only transcendental (ln of an integer ratio) is
+    rounded to integer micro-units on BOTH sides per the repo's
+    round-6..9 invariant."""
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = F.split("text", " ")
+    bks = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _DSIR_BUCKETS,
+    )
+    packed = (
+        d.filter(F.size(toks) >= 2)
+        .repartition(par)
+        .select("doc_id", "source", "lang", bks.alias("bs"))
+        .localCheckpoint()
+    )
+    flat = packed.select(
+        "doc_id", "source", "lang", F.explode_outer("bs").alias("b")
+    )
+    rawc = flat.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgtc = (
+        flat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    spine = spark.range(_DSIR_BUCKETS).select(F.col("id").alias("b"))
+    dist = (
+        spine.join(rawc, "b", "left")
+        .join(tgtc, "b", "left")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    wall = Window.partitionBy()
+    smooth = float(_DSIR_BUCKETS)
+    lr = dist.select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.sum("ct").over(wall) + smooth))
+                - F.log(
+                    (F.col("cr") + 1.0) / (F.sum("cr").over(wall) + smooth)
+                )
+            )
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micros"),
+    )
+    db = flat.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sc = (
+        db.join(lr, "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("n") * F.col("lr_micros")).alias("score"))
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    return sc.select(
+        "doc_id",
+        "source",
+        F.col("score").cast("bigint").alias("dsir_score"),
+        F.row_number().over(ws).cast("bigint").alias("sel_rank"),
+        (
+            F.row_number().over(ws) * _DSIR_KEEP_DEN
+            <= F.count(F.lit(1)).over(wc) * _DSIR_KEEP_NUM
+        ).alias("selected"),
     )

@@ -279,3 +279,136 @@ def test_cluster_incremental_batch_doc_bridges_two_base_components(spark, tmp_pa
     full = {r["doc_id"]: r["component_id"]
             for r in QUERIES["dedup_cluster_cc"](spark, sf).collect()}
     assert inc == full
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_exact
+# ---------------------------------------------------------------------------
+
+
+def test_span_exact_planted_shared_span(spark, tmp_path):
+    # two docs share an exact 6-token run; every other token is unique
+    # corpus-wide (distinct lengths/first chars break the RK code too),
+    # so the ONLY repeated windows are the shared run's 3 window starts
+    # → ONE maximal span of exactly 6 tokens per doc, at the planted
+    # positions (1-based token indices)
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"unique1a unique2ab {shared} tail1xyz", "en", "s0", 40),
+        (2, f"{shared} unique3abc unique4abcd unique5abcde", "en", "s1", 40),
+        (3, "zz yyy xxxx wwwww vvvvvv uuuuuuu", "en", "s2", 30),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["dedup_span_exact"](spark, sf).collect()
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+             for r in out}
+    assert spans == {1: (3, 8, 6), 2: (1, 6, 6)}
+
+
+def test_span_exact_matches_python_reference(spark, tmp_path):
+    # seeded random small-vocab corpora vs a pure-Python replay of the
+    # exact semantics (RK token codes → 4-window poly hashes → count>=2
+    # → island merge); small vocab forces dense cross-doc repeats
+    import random
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "longword", "x"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))),
+         "en", "s", 0)
+        for i in range(40)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in QUERIES["dedup_span_exact"](spark, sf).collect()
+    )
+
+    K = 4
+    from collections import Counter
+
+    def win_hashes(text):
+        cs = [len(t) * 131 + ord(t[0]) for t in text.split(" ")]
+        return [
+            ((cs[i] * 131 + cs[i + 1]) * 131 + cs[i + 2]) * 131 + cs[i + 3]
+            for i in range(len(cs) - K + 1)
+        ]
+
+    counts = Counter(h for _, t, *_ in rows for h in win_hashes(t))
+    want = []
+    for doc_id, t, *_ in rows:
+        flagged = [
+            i + 1 for i, h in enumerate(win_hashes(t)) if counts[h] >= 2
+        ]
+        run = []
+        for p in flagged:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.append((doc_id, run[0], run[-1] + K - 1,
+                                 run[-1] - run[0] + K))
+                run = [p]
+        if run:
+            want.append((doc_id, run[0], run[-1] + K - 1,
+                         run[-1] - run[0] + K))
+    assert got == sorted(want)
+
+
+def test_span_exact_spans_are_maximal_and_disjoint(spark, sf_dir):
+    # per doc: every span ≥ window size, spans sorted by start must not
+    # touch or overlap (a gap of 0 would mean the island merge failed)
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in QUERIES["dedup_span_exact"](spark, sf_dir).collect():
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["span_tokens"] >= 4
+        per_doc[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    assert per_doc, "fixture corpus has near-duplicates by construction"
+    for spans in per_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            # islands are maximal: the next span starts ≥ 2 windows on
+            # (start gap ≥ 2), else they'd have merged
+            assert s2 > e1 - 4 + 2
+
+
+# ---------------------------------------------------------------------------
+# select_dsir
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_selects_exactly_top_fifth_per_source(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = QUERIES["select_dsir"](spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        n = len(rs)
+        picked = [r for r in rs if r["selected"]]
+        assert len(picked) == n // 5, src
+        # the selected set IS the top slice under (score desc, doc_id)
+        order = sorted(rs, key=lambda r: (-r["dsir_score"], r["doc_id"]))
+        assert {r["doc_id"] for r in picked} == {
+            r["doc_id"] for r in order[: n // 5]
+        }
+        # sel_rank is the dense 1..n enumeration of that order
+        assert [r["doc_id"] for r in sorted(rs, key=lambda r: r["sel_rank"])] \
+            == [r["doc_id"] for r in order]
+
+
+def test_dsir_target_language_scores_higher(spark, sf_dir):
+    # the whole point of importance resampling: documents FROM the
+    # target domain (en) must average a higher log-ratio than the rest
+    from task_mapreduce_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = QUERIES["select_dsir"](spark, sf_dir)
+    joined = out.join(d, "doc_id").collect()
+    en = [r["dsir_score"] for r in joined if r["lang"] == "en"]
+    rest = [r["dsir_score"] for r in joined if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
