@@ -23,9 +23,14 @@ from task_mapreduce_spark.operators.llm_extras import (
     _doc_token_sets,
     _min_label_cc,
     _rk_window_frame,
+    corpus_filter,
     dedup_cluster_cc,
     jaccard_pairs,
+    quality_perplexity,
+    quality_repetition,
     sim_search_ann,
+    text_entropy,
+    text_quality,
 )
 from task_mapreduce_spark.operators.llm_pipeline import sim_search_topk
 from task_mapreduce_spark.registry import ORACLES, register
@@ -1114,9 +1119,10 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — and deliberately NOT a global rank, which would funnel the
     corpus through one partition).
 
-    100 TB shape: the per-doc bucket array is built in-row scan-side
-    (one md5 per bigram, done ONCE on a round-robin-spread checkpoint —
-    the serialize-killer discipline — then consumed by all three
+    100 TB shape: the hashed bigram stream is built scan-side (one
+    codegen'd md5 per exploded bigram row — NOT inside the HOF lambda,
+    which would run interpreted — on a round-robin-spread eager
+    checkpoint, the serialize-killer discipline; consumed by all three
     aggregates); both feature distributions are word-count-shaped aggs
     onto a FIXED 256-row spine, so the log-ratio table is metadata no
     matter the corpus size and its equi-join onto per-doc counts is
@@ -1132,33 +1138,33 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     toks = F.split("text", " ")
-    bks = F.transform(
+    bgs = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _DSIR_BUCKETS,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
     )
-    packed = (
+    # md5/conv run on the EXPLODED row stream, not inside the HOF
+    # lambda: higher-order lambdas are CodegenFallback (interpreted),
+    # while the same expressions per row stay inside whole-stage
+    # codegen — measured 10.4 → 7.9 s warm at the ×10 stress (×3.3
+    # wall for ×10 data, the sub-×4 family pattern).
+    # The lambda keeps only the cheap concat; explode_outer per the
+    # InferFiltersFromGenerate invariant (size-preserving anyway).
+    flat = (
         d.filter(F.size(toks) >= 2)
         .repartition(par)
-        .select("doc_id", "source", "lang", bks.alias("bs"))
+        .select("doc_id", "source", "lang", F.explode_outer(bgs).alias("g"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
         .localCheckpoint()
-    )
-    flat = packed.select(
-        "doc_id", "source", "lang", F.explode_outer("bs").alias("b")
     )
     rawc = flat.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgtc = (
@@ -1214,4 +1220,353 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(ws) * _DSIR_KEEP_DEN
             <= F.count(F.lit(1)).over(wc) * _DSIR_KEEP_NUM
         ).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_apply — cut the repeated spans out of the corpus
+# ---------------------------------------------------------------------------
+
+
+def _span_apply_oracle() -> str:
+    # reuse the registered span-detection oracle verbatim as a derived
+    # table (the dedup_resolve_best pattern) so detect and apply can
+    # never disagree on which spans exist
+    span_sql = ORACLES["dedup_span_exact"]
+    return f"""
+    WITH spans AS (SELECT * FROM ({span_sql})),
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks
+      FROM t
+    ),
+    tokpos AS (SELECT doc_id, p, toks[p] AS tok FROM pos),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tp.doc_id
+          AND tp.p BETWEEN s.span_start AND s.span_end
+      )
+    ),
+    clean AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(n_kept, 0)
+                AS BIGINT) AS n_removed,
+           COALESCE(text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN clean USING (doc_id)
+    """
+
+
+@register("dedup_span_apply", oracle=_span_apply_oracle())
+def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ExactSubstr cut list: emit the corpus with every
+    repeated span REMOVED — the surgery stage of Lee et al. 2022's
+    span dedup, composing the registered :func:`dedup_span_exact`
+    detector exactly as tokenizer_apply_bpe composes tokenizer_train_bpe
+    (detect → apply, two registered halves that cannot disagree: the
+    oracle embeds the detector's registered SQL verbatim).
+
+    Shape: the corpus re-explodes to a positional token stream
+    (posexplode of the inline split — the size-preserving safe
+    Generate; n_tokens is DELIBERATELY NOT projected beside the
+    explode, per the size()-hoist trap, and comes from a separate
+    narrow scan instead), which anti-joins the span list on
+    (doc_id equi + position-range) — spans per doc are few, so the
+    range arm of the join is cheap — and reassembles per doc with an
+    order-exact in-row sort (array_sort on (p, tok) structs ≡ DuckDB's
+    string_agg ORDER BY p).  Docs without spans pass through unchanged
+    via the final left join; a fully-removed doc yields ''.  At 100 TB
+    every stage is linear: one positional explode (shuffle ∝ tokens),
+    one doc_id-keyed anti join, one doc_id-keyed reassembly agg, all
+    on the same partitioning key."""
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    spans = dedup_span_exact(spark, sf_dir).select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    toks = F.split("text", " ")
+    pos = (
+        d.repartition(par)
+        .select("doc_id", F.posexplode_outer(toks).alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    kept = pos.join(
+        spans,
+        (pos["doc_id"] == spans["s_doc"])
+        & (F.col("p") >= F.col("span_start"))
+        & (F.col("p") <= F.col("span_end")),
+        "left_anti",
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    n_tok = F.size(toks).cast("bigint")
+    return (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_eval_report — the quality family's per-lang scoreboard
+# ---------------------------------------------------------------------------
+
+
+def _quality_report_oracle() -> str:
+    # every arm is the registered operator's oracle embedded VERBATIM
+    # (the sim_eval_recall_multi pattern): the scoreboard can never
+    # disagree with the signals it summarizes
+    cf = ORACLES["corpus_filter"]
+    ent = ORACLES["text_entropy"]
+    ppl = ORACLES["quality_perplexity"]
+    rep = ORACLES["quality_repetition"]
+    tq = ORACLES["text_quality"]
+
+    def mean6(col: str) -> str:
+        # round-6 → exact decimal sum → one IEEE division → round-6:
+        # merge-order-proof (functions/exact.py discipline)
+        return (
+            f"round(CAST(SUM(CAST(round({col}, 6) AS DECIMAL(24,6)))"
+            f" AS DOUBLE) / COUNT(*), 6)"
+        )
+
+    return f"""
+    WITH cf AS (SELECT * FROM ({cf})),
+    ent AS (SELECT * FROM ({ent})),
+    ppl AS (SELECT * FROM ({ppl})),
+    rep AS (SELECT * FROM ({rep})),
+    tq AS (SELECT * FROM ({tq})),
+    langmap AS (SELECT doc_id, lang FROM documents),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+             CAST(COUNT(CASE WHEN reason = 'too_short' THEN 1 END)
+                  AS BIGINT) AS n_too_short,
+             CAST(COUNT(CASE WHEN reason = 'too_repetitive' THEN 1 END)
+                  AS BIGINT) AS n_too_repetitive,
+             CAST(COUNT(CASE WHEN reason = 'no_stopwords' THEN 1 END)
+                  AS BIGINT) AS n_no_stopwords
+      FROM cf GROUP BY lang
+    ),
+    e AS (SELECT lang, {mean6('entropy')} AS mean_entropy
+          FROM ent JOIN langmap USING (doc_id) GROUP BY lang),
+    p AS (SELECT lang, {mean6('nll_r')} AS mean_nll
+          FROM ppl JOIN langmap USING (doc_id) GROUP BY lang),
+    r AS (SELECT lang, {mean6('top_bigram_frac')} AS mean_top_bigram
+          FROM rep JOIN langmap USING (doc_id) GROUP BY lang),
+    q AS (SELECT lang, {mean6('quality_score')} AS mean_quality
+          FROM tq GROUP BY lang)
+    SELECT c.lang, c.n_docs, c.n_kept, c.n_too_short, c.n_too_repetitive,
+           c.n_no_stopwords, e.mean_entropy, p.mean_nll, r.mean_top_bigram,
+           q.mean_quality
+    FROM counts c
+    LEFT JOIN e USING (lang) LEFT JOIN p USING (lang)
+    LEFT JOIN r USING (lang) LEFT JOIN q USING (lang)
+    """
+
+
+@register("quality_eval_report", oracle=_quality_report_oracle())
+def quality_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality scoreboard over the REGISTERED quality
+    family — the eval completing the per-family set (ANN:
+    sim_eval_recall_multi, dedup: dedup_eval_prf, tokenizer:
+    tokenizer_eval_vocab): corpus_filter's keep rate and first-failing-
+    rule breakdown beside the mean registered signals (Shannon entropy,
+    unigram-LM NLL, Gopher top-bigram fraction, composite quality
+    score) — the dashboard a curation pipeline watches to catch a
+    crawl-quality regression per language shard.
+
+    Every arm IS the registered operator (imported, not re-derived;
+    the oracle embeds each registered SQL verbatim), so the scoreboard
+    cannot disagree with the per-doc signals it summarizes.  Each mean
+    is taken over exactly the docs ITS operator emits — the arms join
+    a |langs|-row spine, never each other, so one operator's row-
+    population rules (e.g. bigram minimums) can never silently shrink
+    another's denominator.  Means are merge-order-proof: per-doc
+    values round-6 → DECIMAL(24,6) exact sum → one IEEE division →
+    round-6, identical on both sides (functions/exact.py).  100 TB
+    shape: four word-count-class passes (each arm's own documented
+    cost) collapsing to |langs|-row aggregates; everything after the
+    arms is metadata-sized, and the final assembly is left joins on
+    the |langs| spine."""
+    d = load(spark, sf_dir, "documents")
+    langmap = d.select("doc_id", "lang")
+
+    def mean6(col: str) -> F.Column:
+        return F.round(
+            F.sum(F.round(F.col(col), 6).cast("decimal(24,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    cf = corpus_filter(spark, sf_dir)
+    counts = cf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("keep"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.count(F.when(F.col("reason") == "too_short", F.lit(1)))
+        .cast("bigint")
+        .alias("n_too_short"),
+        F.count(F.when(F.col("reason") == "too_repetitive", F.lit(1)))
+        .cast("bigint")
+        .alias("n_too_repetitive"),
+        F.count(F.when(F.col("reason") == "no_stopwords", F.lit(1)))
+        .cast("bigint")
+        .alias("n_no_stopwords"),
+    )
+    e = (
+        text_entropy(spark, sf_dir)
+        .join(langmap, "doc_id")
+        .groupBy("lang")
+        .agg(mean6("entropy").alias("mean_entropy"))
+    )
+    p = (
+        quality_perplexity(spark, sf_dir)
+        .join(langmap, "doc_id")
+        .groupBy("lang")
+        .agg(mean6("nll_r").alias("mean_nll"))
+    )
+    r = (
+        quality_repetition(spark, sf_dir)
+        .join(langmap, "doc_id")
+        .groupBy("lang")
+        .agg(mean6("top_bigram_frac").alias("mean_top_bigram"))
+    )
+    q = (
+        text_quality(spark, sf_dir)
+        .groupBy("lang")
+        .agg(mean6("quality_score").alias("mean_quality"))
+    )
+    return (
+        counts.join(e, "lang", "left")
+        .join(p, "lang", "left")
+        .join(r, "lang", "left")
+        .join(q, "lang", "left")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted — Efraimidis-Spirakis weighted sampling, integer-exact
+# ---------------------------------------------------------------------------
+
+_WS_PER_SOURCE = 5      # sample k docs per source shard
+_WS_MAX_W = 16          # weight cap (bounds the in-row key fan-out)
+_WS_CHARS_PER_W = 200   # one weight unit per 200 chars
+
+
+def _ws_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             least(1 + n_chars // {_WS_CHARS_PER_W}, {_WS_MAX_W}) AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, w,
+             list_max(list_transform(
+               generate_series(0, CAST(w - 1 AS INTEGER)),
+               j -> ('0x' || substr(md5(doc_id || '#' || j), 1, 12))::BIGINT
+             )) AS es_key
+      FROM w
+    ),
+    rk AS (
+      SELECT doc_id, source, CAST(w AS BIGINT) AS w, es_key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key DESC, doc_id) AS r
+      FROM keyed
+    )
+    SELECT doc_id, source, w, es_key,
+           CAST(r AS BIGINT) AS sample_rank,
+           (r <= {_WS_PER_SOURCE}) AS sampled
+    FROM rk
+    """
+
+
+@register("sample_weighted", oracle=_ws_oracle())
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement ∝ per-item weights —
+    Efraimidis & Spirakis 2006 (A-Res, public): each item draws key
+    u^(1/w) and the sample is the top-k keys.  The repo's twist makes
+    the key INTEGER-EXACT instead of transcendental: u^(1/w) is
+    distributed exactly as the max of w iid uniforms
+    (P(max ≤ x) = x^w = P(u^(1/w) ≤ x)), so for integer weights the
+    ES key is ``max_j hash48(doc_id || '#' || j)`` over j < w — the
+    portable 48-bit md5 family, no ln/pow whose last-ulp could differ
+    between engines, and the selected set is a pure function of
+    doc_id (reruns/backfills cannot churn the sample, the
+    corpus_mix_weighted discipline).  Fixture weights are
+    length-proportional (1 + n_chars/200, capped at 16) — the
+    token-budget-aware corpus sampling a pretraining mix actually
+    uses; k = 5 docs per source shard.
+
+    100 TB shape: the key is one in-row array_max over ≤ 16 hashes
+    (scan-side, no shuffle); ranking partitions by source — never a
+    global single-partition sort; output carries the full population
+    with sampled flags so downstream joins need no second scan.  The
+    oracle replays weights, the hash family, and the ranking
+    verbatim."""
+    d = load(spark, sf_dir, "documents")
+    w = F.least(
+        F.lit(1) + (F.col("n_chars") / _WS_CHARS_PER_W).cast("long"),
+        F.lit(_WS_MAX_W).cast("long"),
+    )
+    es_key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("w") - 1).cast("int")),
+            lambda j: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col("doc_id").cast("string"),
+                            j.cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    keyed = d.select(
+        "doc_id", "source", w.alias("w")
+    ).select("doc_id", "source", "w", es_key.alias("es_key"))
+    rk = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), "doc_id"
+    )
+    r = F.row_number().over(rk)
+    return keyed.select(
+        "doc_id",
+        "source",
+        "w",
+        "es_key",
+        r.cast("bigint").alias("sample_rank"),
+        (r <= _WS_PER_SOURCE).alias("sampled"),
     )

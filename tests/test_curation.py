@@ -412,3 +412,196 @@ def test_dsir_target_language_scores_higher(spark, sf_dir):
     rest = [r["dsir_score"] for r in joined if r["lang"] != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_apply
+# ---------------------------------------------------------------------------
+
+
+def test_span_apply_planted_surgery(spark, tmp_path):
+    # same planted corpus as the detect test: the shared 6-token run is
+    # cut from both docs; the untouched doc passes through verbatim
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"unique1a unique2ab {shared} tail1xyz", "en", "s0", 40),
+        (2, f"{shared} unique3abc unique4abcd unique5abcde", "en", "s1", 40),
+        (3, "zz yyy xxxx wwwww vvvvvv uuuuuuu", "en", "s2", 30),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_span_apply"](spark, sf).collect()}
+    assert out[1]["text_clean"] == "unique1a unique2ab tail1xyz"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (9, 6)
+    assert out[2]["text_clean"] == "unique3abc unique4abcd unique5abcde"
+    assert out[3]["text_clean"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+
+
+def test_span_apply_exact_duplicate_doc_is_fully_cut(spark, tmp_path):
+    # two identical docs: EVERY window repeats, so ExactSubstr removes
+    # the full text of both (the cut-all-occurrences semantics)
+    dup = "one two three four five six"
+    rows = [
+        (1, dup, "en", "s0", 27),
+        (2, dup, "en", "s1", 27),
+        (3, "aa bbb cccc ddddd eeeeee", "en", "s2", 24),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["dedup_span_apply"](spark, sf).collect()}
+    for i in (1, 2):
+        assert out[i]["text_clean"] == ""
+        assert out[i]["n_removed"] == out[i]["n_tokens"] == 6
+    assert out[3]["n_removed"] == 0
+
+
+def test_span_apply_consistent_with_detect(spark, sf_dir):
+    # apply removes exactly the UNION of detect's token spans per doc —
+    # note adjacent islands whose window-start gap is < the 4-token
+    # window OVERLAP by up to 3 tokens, so a naive span_tokens sum
+    # over-counts; spanless docs pass through with their original text
+    from collections import defaultdict
+
+    from task_mapreduce_spark.tables import load
+
+    covered = defaultdict(set)
+    for r in QUERIES["dedup_span_exact"](spark, sf_dir).collect():
+        covered[r["doc_id"]].update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    out = QUERIES["dedup_span_apply"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in out} == set(texts)
+    for r in out:
+        assert r["n_removed"] == len(covered.get(r["doc_id"], ())), r["doc_id"]
+        if r["n_removed"] == 0:
+            assert r["text_clean"] == texts[r["doc_id"]]
+        else:
+            toks = texts[r["doc_id"]].split(" ")
+            keep = [t for p, t in enumerate(toks, 1)
+                    if p not in covered[r["doc_id"]]]
+            assert r["text_clean"] == " ".join(keep)
+
+
+# ---------------------------------------------------------------------------
+# quality_eval_report
+# ---------------------------------------------------------------------------
+
+
+def test_quality_report_counts_decompose(spark, sf_dir):
+    # per lang: the reason breakdown partitions the population (ok +
+    # the three drop reasons == n_docs), and matches corpus_filter
+    from collections import Counter
+
+    cf = QUERIES["corpus_filter"](spark, sf_dir).collect()
+    n_docs = Counter(r["lang"] for r in cf)
+    n_kept = Counter(r["lang"] for r in cf if r["keep"])
+    rows = QUERIES["quality_eval_report"](spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == set(n_docs)
+    for r in rows:
+        assert r["n_docs"] == n_docs[r["lang"]]
+        assert r["n_kept"] == n_kept[r["lang"]]
+        assert (
+            r["n_kept"] + r["n_too_short"] + r["n_too_repetitive"]
+            + r["n_no_stopwords"] == r["n_docs"]
+        )
+
+
+def test_quality_report_means_match_signal_ops(spark, sf_dir):
+    # each mean must equal a Python replay of the round-6 → exact-sum →
+    # divide → round-6 pipeline over the REGISTERED signal op's output
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from task_mapreduce_spark.tables import load
+
+    langmap = {
+        r["doc_id"]: r["lang"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+
+    def mean6(pairs):
+        by = defaultdict(list)
+        for lang, v in pairs:
+            by[lang].append(Decimal(str(round(v, 6))))
+        return {
+            lang: round(float(sum(vs)) / len(vs), 6) for lang, vs in by.items()
+        }
+
+    ent = mean6(
+        (langmap[r["doc_id"]], r["entropy"])
+        for r in QUERIES["text_entropy"](spark, sf_dir).collect()
+    )
+    rep = mean6(
+        (langmap[r["doc_id"]], r["top_bigram_frac"])
+        for r in QUERIES["quality_repetition"](spark, sf_dir).collect()
+    )
+    rows = QUERIES["quality_eval_report"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["mean_entropy"] == ent.get(r["lang"]), r["lang"]
+        assert r["mean_top_bigram"] == rep.get(r["lang"]), r["lang"]
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted
+# ---------------------------------------------------------------------------
+
+
+def test_sample_weighted_matches_python_replay(spark, sf_dir):
+    # the whole key is engine-portable integer math, so a pure-Python
+    # replay must reproduce EVERY column bit-for-bit
+    import hashlib
+    from collections import defaultdict
+
+    from task_mapreduce_spark.operators.curation import (
+        _WS_CHARS_PER_W,
+        _WS_MAX_W,
+        _WS_PER_SOURCE,
+    )
+    from task_mapreduce_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    rows = defaultdict(list)
+    for d in docs:
+        w = min(1 + d["n_chars"] // _WS_CHARS_PER_W, _WS_MAX_W)
+        key = max(
+            int(hashlib.md5(f"{d['doc_id']}#{j}".encode()).hexdigest()[:12], 16)
+            for j in range(w)
+        )
+        rows[d["source"]].append((d["doc_id"], w, key))
+    want = {}
+    for src, items in rows.items():
+        ranked = sorted(items, key=lambda t: (-t[2], t[0]))
+        for r, (doc_id, w, key) in enumerate(ranked, 1):
+            want[doc_id] = (src, w, key, r, r <= _WS_PER_SOURCE)
+    got = {
+        r["doc_id"]: (r["source"], r["w"], r["es_key"], r["sample_rank"],
+                      r["sampled"])
+        for r in QUERIES["sample_weighted"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sample_weighted_bias_follows_weights(spark, tmp_path):
+    # planted corpus: in one source, 5 heavy docs (w=16) among 95 light
+    # ones (w=1); ES theory says each heavy doc enters the top-5 far
+    # more often than 5% — with 16:1 odds per slot the heavy docs must
+    # take a clear majority of the sample on virtually any hash draw
+    rows = [(i, "x", "en", "s0", 4000) for i in range(5)]          # w=16
+    rows += [(100 + i, "x", "en", "s0", 0) for i in range(95)]     # w=1
+    sf = _write_docs(spark, tmp_path, rows)
+    out = QUERIES["sample_weighted"](spark, sf).collect()
+    assert len(out) == 100
+    picked = {r["doc_id"] for r in out if r["sampled"]}
+    assert len(picked) == 5
+    heavy_picked = len([d for d in picked if d < 100])
+    assert heavy_picked >= 2  # expected ≈ 2.3 of 5 slots; 0-1 would
+    #                           indicate the weights are not applied
+    # weights themselves must be exact
+    ws = {r["doc_id"]: r["w"] for r in out}
+    assert all(ws[d] == 16 for d in range(5))
+    assert all(ws[100 + i] == 1 for i in range(95))
