@@ -166,6 +166,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
         "sim_eval_recall_multi",  # embeds topk/ann/ivf/pq arms + 5-probe L2 scan
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
+        "quality_eval_report",  # embeds quality_perplexity's 1-row
+        #                         corpus-token-count crossJoin verbatim
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -543,6 +545,8 @@ _BROADCAST_HINT_BUDGET = {
     "anomaly_mad": (2, "per-event_type median + MAD aggregates (|types| rows)"),
     "basket_pairs": (1, "1-row order-total (lift denominator)"),
     "quality_perplexity": (1, "1-row corpus-token-count (unigram join UNHINTED)"),
+    "quality_eval_report": (1, "inherited: embeds quality_perplexity's"
+                               " 1-row corpus-token-count broadcast verbatim"),
     "text_collocation_pmi": (1, "|langs|-row pair totals (unigram joins UNHINTED)"),
     "text_tfidf": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
     "text_keywords": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
