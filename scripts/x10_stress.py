@@ -29,7 +29,7 @@ X10 = os.environ.get("X10_DIR", "/tmp/x10_fixture")
 KEYS = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "sim_search_ivf", "dedup_semantic", "mine_hard_negatives",
     "dedup_chunks", "embedding_pq", "sim_search_pq",
-    "dedup_span_exact", "select_dsir",
+    "dedup_span_exact", "dedup_span_apply", "select_dsir",
 ]
 
 spark = get_spark("x10-stress")
