@@ -20,8 +20,11 @@ from pyspark.sql import functions as F
 from task_mapreduce_spark.operators.llm_extras import (
     _DECON_SHINGLES_SQL,
     _FP_WINDOW,
+    _IVF_CELLS_CTES,
     _doc_token_sets,
+    _ivf_cells,
     _min_label_cc,
+    _normed_vectors,
     _rk_window_frame,
     corpus_filter,
     dedup_cluster_cc,
@@ -1569,4 +1572,139 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es_key",
         r.cast("bigint").alias("sample_rank"),
         (r <= _WS_PER_SOURCE).alias("sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_eval_ari — lexical-vs-semantic clustering agreement
+# ---------------------------------------------------------------------------
+
+
+def _ari_oracle() -> str:
+    # both clusterings embedded VERBATIM: the lexical side is
+    # dedup_cluster_cc's registered recursive-CTE oracle as a derived
+    # table (the dedup_resolve_best pattern), the semantic side the
+    # shared IVF cell chain (the dedup_semantic pattern)
+    cc_sql = ORACLES["dedup_cluster_cc"]
+    return f"""
+    WITH {_IVF_CELLS_CTES},
+    lex AS (SELECT * FROM ({cc_sql})),
+    jj AS (
+      SELECT lex.component_id, cells.cell
+      FROM lex JOIN cells ON lex.doc_id = cells.vec_id
+    ),
+    cont AS (
+      SELECT component_id, cell, COUNT(*) AS nij
+      FROM jj GROUP BY component_id, cell
+    ),
+    s1 AS (
+      SELECT SUM(nij * (nij - 1) // 2) AS pairs_both,
+             SUM(nij) AS n_items
+      FROM cont
+    ),
+    ca AS (SELECT component_id, SUM(nij) AS na FROM cont
+           GROUP BY component_id),
+    s2 AS (SELECT SUM(na * (na - 1) // 2) AS pairs_lex,
+                  COUNT(*) AS n_components FROM ca),
+    cb AS (SELECT cell, SUM(nij) AS nb FROM cont GROUP BY cell),
+    s3 AS (SELECT SUM(nb * (nb - 1) // 2) AS pairs_sem,
+                  COUNT(*) AS n_cells FROM cb)
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_components AS BIGINT) AS n_components,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(pairs_both AS BIGINT) AS pairs_both,
+           CAST(pairs_lex AS BIGINT) AS pairs_lex,
+           CAST(pairs_sem AS BIGINT) AS pairs_sem,
+           CASE WHEN (CAST(pairs_lex + pairs_sem AS DOUBLE) / 2
+                      - CAST(pairs_lex AS DOUBLE) * pairs_sem
+                        / (n_items * (n_items - 1) // 2)) = 0
+                THEN 1.0
+                ELSE round(
+                  (pairs_both - CAST(pairs_lex AS DOUBLE) * pairs_sem
+                                / (n_items * (n_items - 1) // 2))
+                  / (CAST(pairs_lex + pairs_sem AS DOUBLE) / 2
+                     - CAST(pairs_lex AS DOUBLE) * pairs_sem
+                       / (n_items * (n_items - 1) // 2)), 6)
+           END AS ari
+    FROM s1 CROSS JOIN s2 CROSS JOIN s3
+    WHERE n_items >= 2
+    """
+
+
+@register("dedup_eval_ari", oracle=_ari_oracle())
+def dedup_eval_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985, public) between the
+    two clusterings the dedup family derives INDEPENDENTLY over the
+    same items: the lexical near-dup components (dedup_cluster_cc,
+    verified Jaccard edges over token shingles) and the semantic IVF
+    cells (the registered `_ivf_cells` clustering that dedup_semantic /
+    sim_search_ivf / mine_hard_negatives share).  This is the
+    cross-METHOD diagnostic the per-method evals (dedup_eval_prf,
+    sim_eval_recall_multi) cannot express: a corpus where lexical
+    duplicates scatter across embedding cells (ARI ≈ 0) has an
+    embedding space that cannot support semantic dedup, caught before
+    anyone trusts SemDeDup output.
+
+    Both clusterings are the REGISTERED constructions embedded
+    verbatim (the oracle reuses dedup_cluster_cc's recursive CTE and
+    the shared IVF cell chain).  The agreement math is EXACT integer
+    pair-counting off one contingency table: n_ij per (component,
+    cell), ``C(n,2)`` sums via integer division (n·(n−1) is always
+    even), so every count column is bit-portable; the only doubles are
+    the final ARI's fixed expression tree — each IEEE op identical in
+    both engines — rounded to 6 (all-singleton degenerate agreement is
+    pinned to ARI = 1.0 by convention, and corpora with < 2 joined
+    items emit nothing).  100 TB shape: one doc_id-keyed equi-join of
+    two (id, label) frames, one hash-agg to the contingency table
+    (map-side partials; ≤ min(|comps|·|cells|, N) rows), then three
+    metadata aggregates cross-joined as 1-row broadcasts — beyond the
+    two embedded clusterings the eval is O(contingency), and the
+    pair-count integers stay < 2^63 while no single cluster exceeds
+    ~3e9 members (C(n,2) < 2^62)."""
+    cc = dedup_cluster_cc(spark, sf_dir).select("doc_id", "component_id")
+    e = _normed_vectors(load(spark, sf_dir, "embeddings"))
+    assigned, _ = _ivf_cells(e)
+    cells = assigned.select(F.col("vec_id").alias("doc_id"), "cell")
+    jj = cc.join(cells, "doc_id")
+    cont = jj.groupBy("component_id", "cell").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    # feeds three aggregates below — materialize the (tiny) table once
+    cont = cont.localCheckpoint()
+    comb2 = lambda c: F.expr(f"{c} * ({c} - 1) div 2")  # noqa: E731
+    s1 = cont.agg(
+        F.sum(comb2("nij")).alias("pairs_both"),
+        F.sum("nij").alias("n_items"),
+    )
+    s2 = (
+        cont.groupBy("component_id")
+        .agg(F.sum("nij").alias("na"))
+        .agg(
+            F.sum(comb2("na")).alias("pairs_lex"),
+            F.count(F.lit(1)).alias("n_components"),
+        )
+    )
+    s3 = (
+        cont.groupBy("cell")
+        .agg(F.sum("nij").alias("nb"))
+        .agg(
+            F.sum(comb2("nb")).alias("pairs_sem"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+    combined = s1.crossJoin(F.broadcast(s2)).crossJoin(F.broadcast(s3))
+    cn2 = F.expr("n_items * (n_items - 1) div 2").cast("double")
+    exp = F.col("pairs_lex").cast("double") * F.col("pairs_sem") / cn2
+    num = F.col("pairs_both") - exp
+    den = (F.col("pairs_lex") + F.col("pairs_sem")).cast("double") / 2 - exp
+    return combined.filter(F.col("n_items") >= 2).select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_components").cast("bigint").alias("n_components"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.col("pairs_both").cast("bigint").alias("pairs_both"),
+        F.col("pairs_lex").cast("bigint").alias("pairs_lex"),
+        F.col("pairs_sem").cast("bigint").alias("pairs_sem"),
+        F.when(den == 0.0, F.lit(1.0))
+        .otherwise(F.round(num / den, 6))
+        .alias("ari"),
     )

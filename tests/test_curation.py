@@ -605,3 +605,66 @@ def test_sample_weighted_bias_follows_weights(spark, tmp_path):
     ws = {r["doc_id"]: r["w"] for r in out}
     assert all(ws[d] == 16 for d in range(5))
     assert all(ws[100 + i] == 1 for i in range(95))
+
+
+# ---------------------------------------------------------------------------
+# dedup_eval_ari
+# ---------------------------------------------------------------------------
+
+
+def test_ari_matches_python_pair_counting(spark, sf_dir):
+    # replay the whole ARI from the two registered clusterings with
+    # pure-Python integer pair counting — every count column must be
+    # bit-equal and the final index must match the same rounded
+    # expression tree
+    from collections import Counter
+
+    lex = {r["doc_id"]: r["component_id"]
+           for r in QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()}
+    # the semantic side: reuse dedup_semantic's output, which carries
+    # the same registered cell assignment per vec_id
+    sem = {r["vec_id"]: r["cell"]
+           for r in QUERIES["dedup_semantic"](spark, sf_dir).collect()}
+    both = {i: (lex[i], sem[i]) for i in lex if i in sem}
+    cont = Counter(both.values())
+    comb2 = lambda n: n * (n - 1) // 2
+    pairs_both = sum(comb2(n) for n in cont.values())
+    ca = Counter(l for l, _ in both.values())
+    cb = Counter(c for _, c in both.values())
+    pairs_lex = sum(comb2(n) for n in ca.values())
+    pairs_sem = sum(comb2(n) for n in cb.values())
+    n = len(both)
+    exp = float(pairs_lex) * pairs_sem / comb2(n)
+    den = float(pairs_lex + pairs_sem) / 2 - exp
+    want_ari = 1.0 if den == 0.0 else round((pairs_both - exp) / den, 6)
+
+    out = QUERIES["dedup_eval_ari"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_items"], r["n_components"], r["n_cells"]) == (
+        n, len(ca), len(cb)
+    )
+    assert (r["pairs_both"], r["pairs_lex"], r["pairs_sem"]) == (
+        pairs_both, pairs_lex, pairs_sem
+    )
+    assert r["ari"] == want_ari
+    assert -0.5 <= r["ari"] <= 1.0  # ARI's theoretical range
+
+
+def test_ari_identical_clusterings_score_one(spark, tmp_path):
+    # a corpus of two exact-duplicate groups: lexical CC puts each
+    # group in one component; pinning the semantic side is not
+    # possible from documents alone, so check the DEGENERATE identity
+    # through the python pair-counting formula instead: ARI of a
+    # clustering with itself is exactly 1
+    from collections import Counter
+
+    lex = {1: 10, 2: 10, 3: 20, 4: 20, 5: 30}
+    cont = Counter((v, v) for v in lex.values())
+    comb2 = lambda n: n * (n - 1) // 2
+    pb = sum(comb2(n) for n in cont.values())
+    pa = sum(comb2(n) for n in Counter(lex.values()).values())
+    n = len(lex)
+    exp = float(pa) * pa / comb2(n)
+    den = float(pa + pa) / 2 - exp
+    assert round((pb - exp) / den, 6) == 1.0

@@ -168,6 +168,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
         "quality_eval_report",  # embeds quality_perplexity's 1-row
         #                         corpus-token-count crossJoin verbatim
+        "dedup_eval_ari",       # two 1-row pair-count-aggregate crossJoins
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -547,6 +548,8 @@ _BROADCAST_HINT_BUDGET = {
     "quality_perplexity": (1, "1-row corpus-token-count (unigram join UNHINTED)"),
     "quality_eval_report": (1, "inherited: embeds quality_perplexity's"
                                " 1-row corpus-token-count broadcast verbatim"),
+    "dedup_eval_ari": (2, "two 1-row pair-count aggregates (IVF centroid"
+                          " broadcasts hidden behind _ivf_cells checkpoints)"),
     "text_collocation_pmi": (1, "|langs|-row pair totals (unigram joins UNHINTED)"),
     "text_tfidf": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
     "text_keywords": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
