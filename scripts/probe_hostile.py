@@ -98,6 +98,8 @@ SEMANTICS_KEYS = [
     "dedup_near_minhash",  # size()-based integer Jaccard + clamps
     "fn_array",            # size/slice/element_at surface
     "agg_count_sum_avg",   # long arithmetic the ANSI rules govern
+    "dedup_span_exact",    # size()-gated windows + position arithmetic
+    "select_dsir",         # size() filter + ANSI long bucket arithmetic
 ]
 
 SF = os.environ.get("SPARK_GRAFT_PROBE_SF", "/root/testdata/sf0.01")
