@@ -1154,14 +1154,25 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall for ×10 data, the sub-×4 family pattern).
     # The lambda keeps only the cheap concat; explode_outer per the
     # InferFiltersFromGenerate invariant (size-preserving anyway).
+    # the checkpointed frame is the ONE corpus-sized working set this
+    # key materializes, so it carries the MINIMUM columns: (doc_id,
+    # is_tgt, b) — two longs and a boolean.  Carrying the source/lang
+    # strings per exploded bigram tripled its footprint and made the
+    # x100 single-JVM probe flaky (a tiny 256-row broadcast build
+    # could fail for driver heap while 50M checkpointed string rows
+    # squatted the unified region); `source` rejoins AFTER the per-doc
+    # aggregation, on a frame that is |docs| rows, not |bigrams|.
     flat = (
         d.filter(F.size(toks) >= 2)
         .repartition(par)
-        .select("doc_id", "source", "lang", F.explode_outer(bgs).alias("g"))
         .select(
             "doc_id",
-            "source",
-            "lang",
+            (F.col("lang") == _DSIR_TARGET_LANG).alias("is_tgt"),
+            F.explode_outer(bgs).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
             (
                 F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long")
                 % _DSIR_BUCKETS
@@ -1171,7 +1182,7 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rawc = flat.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgtc = (
-        flat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        flat.filter(F.col("is_tgt"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
@@ -1202,13 +1213,12 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lr_micros"),
     )
-    db = flat.groupBy("doc_id", "source", "b").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    db = flat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     sc = (
         db.join(lr, "b")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(F.sum(F.col("n") * F.col("lr_micros")).alias("score"))
+        .join(d.select("doc_id", "source"), "doc_id")
     )
     ws = Window.partitionBy("source").orderBy(
         F.col("score").desc(), "doc_id"
