@@ -10,6 +10,14 @@ ratios from a single cold pass mislead on this host.
 
 Usage: python scripts/x10_stress.py [key,key,...]
 Defaults to the keys whose scaling story changed most recently.
+
+Second decade (×100): point the harness at its own output —
+  X10_BASE=/tmp/x10_fixture X10_DIR=/tmp/x100_fixture \\
+      python scripts/x10_stress.py key,...
+after symlinking the sf0.1 star-schema parquets into /tmp/x10_fixture
+(the warm-up query reads lineitem).  Round 9 ran exactly this; the
+two-decade table lives in PERF.md, and the probe caught a real
+robustness bug (select_dsir's over-wide checkpoint).
 """
 from __future__ import annotations
 
