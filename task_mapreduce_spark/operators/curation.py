@@ -968,10 +968,16 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rep_h AS (SELECT h FROM hashes GROUP BY h HAVING COUNT(*) >= 2),
     rep AS (SELECT doc_id, i FROM hashes JOIN rep_h USING (h)),
+    brk AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       > {_FP_WINDOW} THEN 1 ELSE 0 END AS b
+      FROM rep
+    ),
     isl AS (
       SELECT doc_id, i,
-             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
-      FROM rep
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM brk
     )
     SELECT doc_id,
            CAST(MIN(i) AS BIGINT) AS span_start,
@@ -992,10 +998,13 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cross- or intra-document — ExactSubstr semantics, unlike
     text_boilerplate's ≥3-distinct-DOCS document-frequency screen),
     and maximal repeated spans are recovered per document by merging
-    runs of consecutive repeated window starts (gaps-and-islands:
-    ``i - row_number()`` is constant exactly on a consecutive run).
-    A span row (doc_id, span_start, span_end) is precisely the byte
-    range ExactSubstr would cut before training.
+    repeated window starts whose TOKEN ranges overlap or touch — a new
+    island begins only when the start gap exceeds the window width
+    (break-flag + running sum, the sessionize gaps-and-islands form),
+    so emitted spans are pairwise DISJOINT with at least one uncovered
+    token between them and ``span_tokens`` sums to exactly the per-doc
+    removed-token count.  A span row (doc_id, span_start, span_end) is
+    precisely the byte range ExactSubstr would cut before training.
 
     100 TB shape: word-count on the window hash (map-side partials) →
     one h-keyed equi-join back to the positional stream (both sides
@@ -1026,7 +1035,11 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = flat.join(rep_h, "h").select("doc_id", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
-    isl = rep.withColumn("g", F.col("i") - F.row_number().over(w))
+    brk = rep.withColumn(
+        "b",
+        F.when(F.col("i") - F.lag("i").over(w) > _FP_WINDOW, 1).otherwise(0),
+    )
+    isl = brk.withColumn("g", F.sum("b").over(w))
     return (
         isl.groupBy("doc_id", "g")
         .agg(F.min("i").alias("mn"), F.max("i").alias("mx"))
@@ -1627,14 +1640,14 @@ def _ari_oracle() -> str:
            CAST(pairs_sem AS BIGINT) AS pairs_sem,
            CASE WHEN (CAST(pairs_lex + pairs_sem AS DOUBLE) / 2
                       - CAST(pairs_lex AS DOUBLE) * pairs_sem
-                        / (n_items * (n_items - 1) // 2)) = 0
+                        / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2)) = 0
                 THEN 1.0
                 ELSE round(
                   (pairs_both - CAST(pairs_lex AS DOUBLE) * pairs_sem
-                                / (n_items * (n_items - 1) // 2))
+                                / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2))
                   / (CAST(pairs_lex + pairs_sem AS DOUBLE) / 2
                      - CAST(pairs_lex AS DOUBLE) * pairs_sem
-                       / (n_items * (n_items - 1) // 2)), 6)
+                       / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2)), 6)
            END AS ari
     FROM s1 CROSS JOIN s2 CROSS JOIN s3
     WHERE n_items >= 2
@@ -1668,9 +1681,13 @@ def dedup_eval_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     two (id, label) frames, one hash-agg to the contingency table
     (map-side partials; ≤ min(|comps|·|cells|, N) rows), then three
     metadata aggregates cross-joined as 1-row broadcasts — beyond the
-    two embedded clusterings the eval is O(contingency), and the
-    pair-count integers stay < 2^63 while no single cluster exceeds
-    ~3e9 members (C(n,2) < 2^62)."""
+    two embedded clusterings the eval is O(contingency).  Overflow
+    bounds: the SUMMED pair counts (pairs_both/lex/sem) stay < 2^63
+    while no single cluster exceeds ~3e9 members (per-cluster
+    C(n,2) < 2^62); the GLOBAL C(n_items,2) in the expected-index
+    denominator is computed in double on both engines (it is only
+    ever consumed as a double), so total corpus size carries no int64
+    bound at all."""
     cc = dedup_cluster_cc(spark, sf_dir).select("doc_id", "component_id")
     e = _normed_vectors(load(spark, sf_dir, "embeddings"))
     assigned, _ = _ivf_cells(e)
@@ -1703,7 +1720,11 @@ def dedup_eval_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     combined = s1.crossJoin(F.broadcast(s2)).crossJoin(F.broadcast(s3))
-    cn2 = F.expr("n_items * (n_items - 1) div 2").cast("double")
+    # the global C(n,2) is only ever consumed as a double (the expected-
+    # index denominator), so compute it IN double: integer n*(n-1) would
+    # overflow int64 under ANSI once global n_items > ~3e9 even when
+    # every individual cluster is small
+    cn2 = F.expr("CAST(n_items AS DOUBLE) * (n_items - 1) / 2")
     exp = F.col("pairs_lex").cast("double") * F.col("pairs_sem") / cn2
     num = F.col("pairs_both") - exp
     den = (F.col("pairs_lex") + F.col("pairs_sem")).cast("double") / 2 - exp

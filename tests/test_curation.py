@@ -342,7 +342,9 @@ def test_span_exact_matches_python_reference(spark, tmp_path):
         ]
         run = []
         for p in flagged:
-            if run and p == run[-1] + 1:
+            # merge while the windows' TOKEN ranges overlap or touch
+            # (start gap <= K) — emitted spans are disjoint
+            if run and p - run[-1] <= K:
                 run.append(p)
             else:
                 if run:
@@ -356,8 +358,9 @@ def test_span_exact_matches_python_reference(spark, tmp_path):
 
 
 def test_span_exact_spans_are_maximal_and_disjoint(spark, sf_dir):
-    # per doc: every span ≥ window size, spans sorted by start must not
-    # touch or overlap (a gap of 0 would mean the island merge failed)
+    # per doc: every span ≥ window size, and spans sorted by start are
+    # pairwise DISJOINT with at least one uncovered token between them
+    # (overlapping/touching token ranges merge into one island)
     from collections import defaultdict
 
     per_doc = defaultdict(list)
@@ -369,9 +372,7 @@ def test_span_exact_spans_are_maximal_and_disjoint(spark, sf_dir):
     for spans in per_doc.values():
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
-            # islands are maximal: the next span starts ≥ 2 windows on
-            # (start gap ≥ 2), else they'd have merged
-            assert s2 > e1 - 4 + 2
+            assert s2 >= e1 + 2
 
 
 # ---------------------------------------------------------------------------
@@ -456,18 +457,22 @@ def test_span_apply_exact_duplicate_doc_is_fully_cut(spark, tmp_path):
 
 def test_span_apply_consistent_with_detect(spark, sf_dir):
     # apply removes exactly the UNION of detect's token spans per doc —
-    # note adjacent islands whose window-start gap is < the 4-token
-    # window OVERLAP by up to 3 tokens, so a naive span_tokens sum
-    # over-counts; spanless docs pass through with their original text
+    # spans are disjoint by construction, so that union's size is also
+    # the per-doc sum of span_tokens; spanless docs pass through with
+    # their original text
     from collections import defaultdict
 
     from task_mapreduce_spark.tables import load
 
     covered = defaultdict(set)
+    tok_sum = defaultdict(int)
     for r in QUERIES["dedup_span_exact"](spark, sf_dir).collect():
         covered[r["doc_id"]].update(
             range(r["span_start"], r["span_end"] + 1)
         )
+        tok_sum[r["doc_id"]] += r["span_tokens"]
+    # disjointness makes span_tokens summable
+    assert all(len(covered[d]) == tok_sum[d] for d in covered)
     texts = {
         r["doc_id"]: r["text"]
         for r in load(spark, sf_dir, "documents").collect()
