@@ -426,11 +426,11 @@ _LSH_VERIFY_WHERE = """2 * len(list_intersect(sa.shingles, sb.shingles))
             >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))"""
 
 
-def _lsh_cand_ctes() -> str:
-    """The shared portable-LSH CTE prefix (documents → shingles →
-    48-bit md5 token hashes → 16 mixed minhashes → 4 band keys →
-    capped-bucket candidate pairs `cand(a, b)`, a < b) — identical
-    pipeline to the Spark-side :func:`_portable_lsh_cand`."""
+def _lsh_buckets_ctes() -> str:
+    """The shared portable-LSH CTE prefix ending at per-doc band keys
+    (documents → shingles → 48-bit md5 token hashes → 16 mixed
+    minhashes → 4 band keys ``buckets(doc_id, band, bkey)``) —
+    identical pipeline to the Spark-side :func:`_band_buckets`."""
     mixes = []
     for j in range(_PRF_HASHES):
         a, b = _prf_params(j)
@@ -470,7 +470,14 @@ def _lsh_cand_ctes() -> str:
     ),
     buckets AS (
       {band_sel}
-    ),
+    )"""
+
+
+def _lsh_cand_ctes() -> str:
+    """:func:`_lsh_buckets_ctes` extended with the capped-bucket
+    candidate pairs ``cand(a, b)``, a < b — identical pipeline to the
+    Spark-side :func:`_portable_lsh_cand`."""
+    return f"""{_lsh_buckets_ctes()},
     sizes AS (SELECT band, bkey, COUNT(*) AS c FROM buckets GROUP BY band, bkey),
     cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -482,13 +489,11 @@ def _lsh_cand_ctes() -> str:
     )"""
 
 
-def _portable_lsh_cand(sh: DataFrame) -> DataFrame:
-    """Candidate pairs (a, b), a < b, from the portable md5 LSH over a
-    (checkpointed) shingle frame — the Spark twin of
-    :func:`_lsh_cand_ctes`: one md5 per shingle, 16 multiply-add
-    minhash mixes, 4 band keys in one struct-array explode, candidates
-    from ONE groupBy with in-row pair expansion and the degenerate-
-    bucket cap (the dedup_near_minhash discipline throughout)."""
+def _band_buckets(sh: DataFrame) -> DataFrame:
+    """Per-doc LSH band keys ``(doc_id, band, bkey)`` from a shingle
+    frame — the Spark twin of :func:`_lsh_buckets_ctes`: one md5 per
+    shingle, 16 multiply-add minhash mixes, 4 band keys in one
+    struct-array explode."""
 
     def perm_min(j: int):
         # closure factory per the repo invariant (never default args)
@@ -524,9 +529,18 @@ def _portable_lsh_cand(sh: DataFrame) -> DataFrame:
             for b in range(_PRF_BANDS)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+
+
+def _portable_lsh_cand(sh: DataFrame) -> DataFrame:
+    """Candidate pairs (a, b), a < b, from the portable md5 LSH over a
+    (checkpointed) shingle frame — the Spark twin of
+    :func:`_lsh_cand_ctes`: :func:`_band_buckets` band keys, candidates
+    from ONE groupBy with in-row pair expansion and the degenerate-
+    bucket cap (the dedup_near_minhash discipline throughout)."""
+    buckets = _band_buckets(sh)
     ids = F.array_sort(F.collect_list("doc_id"))
     combos = F.flatten(
         F.transform(
@@ -677,6 +691,18 @@ def dedup_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_BATCH_MOD = 10   # hash % 10 == 0 → the arriving batch (~10%)
 
 
+def _is_batch_expr(c):
+    # pure function of doc_id — evaluated as an expression wherever
+    # needed, never joined (a |corpus|-row flag join would need a
+    # shuffle; this stays scan-side at any scale)
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % _INCR_BATCH_MOD
+        == 0
+    )
+
+
 def _incr_oracle() -> str:
     return f"""
     WITH {_lsh_cand_ctes()},
@@ -746,17 +772,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d).localCheckpoint()
-
-    def is_batch(c):
-        # pure function of doc_id — evaluated as an expression wherever
-        # needed, never joined (a |corpus|-row flag join would need a
-        # shuffle; this stays scan-side at any scale)
-        return (
-            F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10)
-            .cast("long")
-            % _INCR_BATCH_MOD
-            == 0
-        )
+    is_batch = _is_batch_expr
 
     # every doc_id (empty-shingle docs included) is present in the
     # checkpointed shingle frame — derive the flags from it instead of
@@ -801,6 +817,173 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_partners", F.lit(0))
             .cast("bigint")
             .alias("n_dup_partners"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_index_persist — the dedup index state round-trips through parquet
+# ---------------------------------------------------------------------------
+
+
+def _index_persist_oracle() -> str:
+    return f"""
+    WITH {_lsh_buckets_ctes()},
+    f AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % {_INCR_BATCH_MOD} = 0 AS is_batch
+      FROM documents
+    ),
+    ib AS (
+      SELECT b.doc_id, b.band, b.bkey FROM buckets b
+      JOIN f ON f.doc_id = b.doc_id WHERE NOT f.is_batch
+    ),
+    pb AS (
+      SELECT b.doc_id, b.band, b.bkey FROM buckets b
+      JOIN f ON f.doc_id = b.doc_id WHERE f.is_batch
+    ),
+    isz AS (SELECT band, bkey, COUNT(*) AS c FROM ib GROUP BY band, bkey),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS partner
+      FROM pb p
+      JOIN ib i ON i.band = p.band AND i.bkey = p.bkey
+      JOIN isz z ON z.band = p.band AND z.bkey = p.bkey
+      WHERE z.c <= {_PRF_MAX_BUCKET}
+    ),
+    ver AS (
+      SELECT c.new_id, c.partner FROM cand c
+      JOIN sh sa ON sa.doc_id = c.new_id
+      JOIN sh sb ON sb.doc_id = c.partner
+      WHERE {_LSH_VERIFY_WHERE}
+    ),
+    agg AS (
+      SELECT new_id, MIN(partner) AS dup_of, COUNT(*) AS n_dup_partners
+      FROM ver GROUP BY new_id
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM f WHERE NOT is_batch) AS index_docs,
+             (SELECT COUNT(*) FROM ib) AS index_band_keys
+    )
+    SELECT f.doc_id,
+           agg.new_id IS NULL AS is_new,
+           CAST(agg.dup_of AS BIGINT) AS dup_of,
+           CAST(COALESCE(agg.n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
+           CAST(stats.index_docs AS BIGINT) AS index_docs,
+           CAST(stats.index_band_keys AS BIGINT) AS index_band_keys
+    FROM f LEFT JOIN agg ON agg.new_id = f.doc_id CROSS JOIN stats
+    WHERE f.is_batch
+    """
+
+
+@register("dedup_index_persist", oracle=_index_persist_oracle())
+def dedup_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup index's PERSISTED-STATE contract, executed rather than
+    narrated: build the accepted corpus's LSH store (band keys + shingle
+    sets), WRITE it to parquet, RELOAD it with a fresh scan, and decide
+    the arriving batch against the RELOADED frames only — the batch
+    twin of stream_foreachbatch_upsert's write-reload-probe story, and
+    the plan dedup_incremental's docstring promises at 100 TB
+    ("band keys for accepted docs are stored... each arriving batch
+    computes only ITS signatures and equi-joins the store").
+
+    Semantics: every arriving doc (the portable ~10% md5(doc_id)
+    slice) is new iff it has no verified J ≥ 0.5 partner in the
+    ACCEPTED (non-batch) corpus — pure index-probe semantics; within-
+    batch pairs are dedup_incremental's concern.  Degenerate buckets
+    are capped at INDEX-build time (store-side bucket population ≤
+    cap), matching how a real store drops stop-shingle buckets once at
+    write.  The audit columns (index_docs, index_band_keys) are counts
+    over the RELOADED store, so the oracle — which replays shingling,
+    hashing, banding, the cap, orientation and verify from the raw
+    corpus in SQL — value-checks that the round-trip lost nothing: a
+    dropped row, a type-narrowed hash, or a truncated band key changes
+    the decisions or the audit counts.
+
+    100 TB shape: the store is parquet partitioned by (band,
+    bucket-prefix) so a probe is a co-partitioned equi-join; per-ingest
+    cost is |batch| signature work + collided-bucket verification —
+    the corpus is never rescanned (the only corpus-sized pass here
+    builds the store, which production amortizes across ingests).
+    Accepted newcomers append their band keys + shingles, keeping the
+    store additive."""
+    from task_mapreduce_spark.operators.llm_pipeline import _shingles
+    from task_mapreduce_spark.operators.relational import _work_dir
+
+    d = load(spark, sf_dir, "documents")
+    sh_all = _shingles(d).localCheckpoint()
+    idx_sh = sh_all.filter(~_is_batch_expr(F.col("doc_id")))
+    batch_sh = sh_all.filter(_is_batch_expr(F.col("doc_id")))
+
+    # ---- index build: persist band keys + shingle sets ----
+    base = _work_dir("dedup_index")
+    _band_buckets(idx_sh).write.mode("overwrite").parquet(f"{base}/bands")
+    idx_sh.write.mode("overwrite").parquet(f"{base}/shingles")
+
+    # ---- reload: everything below touches ONLY the reloaded store ----
+    bands_store = spark.read.parquet(f"{base}/bands")
+    sh_store = spark.read.parquet(f"{base}/shingles")
+
+    probe = _band_buckets(batch_sh).select(
+        F.col("doc_id").alias("new_id"), "band", "bkey"
+    )
+    ok = (
+        bands_store.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _PRF_MAX_BUCKET)
+        .select("band", "bkey")
+    )
+    cand = (
+        probe.join(ok, ["band", "bkey"])
+        .join(
+            bands_store.select(
+                F.col("doc_id").alias("partner"), "band", "bkey"
+            ),
+            ["band", "bkey"],
+        )
+        .select("new_id", "partner")
+        .distinct()
+    )
+    sa = batch_sh.select(
+        F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh_store.select(
+        F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.greatest(
+        F.size(F.array_intersect("sh_a", "sh_b")), F.lit(0)
+    ).cast("long")
+    uni = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast(
+        "long"
+    )
+    ver = (
+        cand.join(sa, cand.new_id == sa.a)
+        .join(sb, cand.partner == sb.b)
+        .filter(F.lit(2) * inter >= uni)
+        .select("new_id", "partner")
+    )
+    agg = ver.groupBy("new_id").agg(
+        F.min("partner").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_dup_partners"),
+    )
+    stats = sh_store.agg(F.count(F.lit(1)).alias("index_docs")).crossJoin(
+        F.broadcast(
+            bands_store.agg(F.count(F.lit(1)).alias("index_band_keys"))
+        )
+    )
+    flags = batch_sh.select("doc_id")
+    return (
+        flags.join(agg, flags.doc_id == agg.new_id, "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("new_id").isNull().alias("is_new"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.coalesce("n_dup_partners", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_partners"),
+            F.col("index_docs").cast("bigint").alias("index_docs"),
+            F.col("index_band_keys").cast("bigint").alias("index_band_keys"),
         )
     )
 

@@ -282,6 +282,97 @@ def test_cluster_incremental_batch_doc_bridges_two_base_components(spark, tmp_pa
 
 
 # ---------------------------------------------------------------------------
+# dedup_index_persist
+# ---------------------------------------------------------------------------
+
+
+def test_index_persist_planted_decisions(spark, tmp_path):
+    # same planted corpus as the incremental test, but index-probe
+    # semantics: within-batch pairs (34, 35) do NOT count — only store
+    # doc 1 is a partner, so 5 dups it and everyone else is new; the
+    # audit columns see exactly 1 store doc with its 4 band keys
+    x = " ".join(f"x{i}" for i in range(21))        # store 1
+    x2 = " ".join(f"x{i}" for i in range(22))       # batch 5: J=20/21
+    y = " ".join(f"y{i}" for i in range(21))        # batch 34
+    y2 = " ".join(f"y{i}" for i in range(22))       # batch 35
+    z = " ".join(f"z{i}" for i in range(21))        # batch 47: fresh
+    rows = [
+        (1, x, "en", "s", len(x)),
+        (5, x2, "en", "s", len(x2)),
+        (34, y, "en", "s", len(y)),
+        (35, y2, "en", "s", len(y2)),
+        (47, z, "en", "s", len(z)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r
+           for r in QUERIES["dedup_index_persist"](spark, sf).collect()}
+    assert set(out) == {5, 34, 35, 47}
+    assert not out[5]["is_new"] and out[5]["dup_of"] == 1
+    assert out[34]["is_new"] and out[34]["dup_of"] is None
+    assert out[35]["is_new"] and out[35]["dup_of"] is None
+    assert out[47]["is_new"] and out[47]["n_dup_partners"] == 0
+    for r in out.values():
+        assert r["index_docs"] == 1
+        assert r["index_band_keys"] == 4
+
+
+def test_index_persist_store_round_trips_bit_exactly(spark, sf_dir):
+    # the parquet round trip loses nothing: the reloaded band-key and
+    # shingle stores equal the inline-recomputed index frames row for
+    # row (the contract the audit columns summarize as counts)
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from task_mapreduce_spark.operators.curation import (
+        _band_buckets,
+        _is_batch_expr,
+    )
+    from task_mapreduce_spark.operators.llm_pipeline import _shingles
+    from task_mapreduce_spark.tables import load
+
+    QUERIES["dedup_index_persist"](spark, sf_dir).count()
+    base = os.path.join(
+        tempfile.gettempdir(), f"tmrs_dedup_index_{os.getpid()}"
+    )
+    idx_sh = _shingles(load(spark, sf_dir, "documents")).filter(
+        ~_is_batch_expr(F.col("doc_id"))
+    )
+    got_bands = sorted(
+        map(tuple, spark.read.parquet(f"{base}/bands").collect())
+    )
+    want_bands = sorted(map(tuple, _band_buckets(idx_sh).collect()))
+    assert got_bands == want_bands
+    got_sh = sorted(
+        (r["doc_id"], tuple(sorted(r["shingles"])))
+        for r in spark.read.parquet(f"{base}/shingles").collect()
+    )
+    want_sh = sorted(
+        (r["doc_id"], tuple(sorted(r["shingles"])))
+        for r in idx_sh.collect()
+    )
+    assert got_sh == want_sh
+
+
+def test_index_persist_consistent_with_incremental(spark, sf_dir):
+    # persist's partner set is the index-only subset of incremental's:
+    # a doc that dups the store must also dup under incremental, and
+    # its partner count can only grow when within-batch pairs join in
+    inc = {r["doc_id"]: r
+           for r in QUERIES["dedup_incremental"](spark, sf_dir).collect()}
+    per = {r["doc_id"]: r
+           for r in QUERIES["dedup_index_persist"](spark, sf_dir).collect()}
+    assert set(inc) == set(per)
+    for d, p in per.items():
+        if not p["is_new"]:
+            assert not inc[d]["is_new"]
+            assert inc[d]["n_dup_partners"] >= p["n_dup_partners"]
+        if inc[d]["is_new"]:
+            assert p["is_new"]
+
+
+# ---------------------------------------------------------------------------
 # dedup_span_exact
 # ---------------------------------------------------------------------------
 

@@ -169,6 +169,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "quality_eval_report",  # embeds quality_perplexity's 1-row
         #                         corpus-token-count crossJoin verbatim
         "dedup_eval_ari",       # two 1-row pair-count-aggregate crossJoins
+        "dedup_index_persist",  # two 1-row store-audit-count crossJoins
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -550,6 +551,8 @@ _BROADCAST_HINT_BUDGET = {
                                " 1-row corpus-token-count broadcast verbatim"),
     "dedup_eval_ari": (2, "two 1-row pair-count aggregates (IVF centroid"
                           " broadcasts hidden behind _ivf_cells checkpoints)"),
+    "dedup_index_persist": (2, "two 1-row store-audit count aggregates"
+                               " (probe/verify joins UNHINTED)"),
     "text_collocation_pmi": (1, "|langs|-row pair totals (unigram joins UNHINTED)"),
     "text_tfidf": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
     "text_keywords": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
