@@ -1,26 +1,34 @@
 #!/usr/bin/env python
-"""x10 scaling stress harness: replicate the sf0.1 documents and
-embeddings fixtures x10 (with per-replica perturbation so replicas are
+"""xN scaling stress harness: replicate the sf0.1 documents and
+embeddings fixtures xN (with per-replica perturbation so replicas are
 near- but not exact duplicates) into /tmp, then warm-interleave base
-vs x10 runs of the requested keys twice each.
+vs xN runs of the requested keys twice each.
 
-The PERF.md scaling table is generated from runs of this shape.  Warm
+The PERF.md scaling tables are generated from runs of this shape.  Warm
 interleaving (A/B/A/B in ONE session) is the bench-noise discipline:
 ratios from a single cold pass mislead on this host.
 
-Usage: python scripts/x10_stress.py [key,key,...]
-Defaults to the keys whose scaling story changed most recently.
+Usage:
+  python scripts/x10_stress.py [key,key,...]          # first decade (x10)
+  X10_REPS=100 python scripts/x10_stress.py key,...   # second decade (x100)
+  X10_TARGET_CELL=64 X10_REPS=100 python scripts/x10_stress.py \\
+      sim_search_ivf,dedup_semantic,mine_hard_negatives
+      # A/B the _ivf_cells constant-stride linearization knob: patches
+      # the shared cell builder so E[cell] is pinned to the constant
+      # instead of the sqrt(N) default (registered values unchanged —
+      # the patch lives only in this process)
 
-Second decade (×100): point the harness at its own output —
-  X10_BASE=/tmp/x10_fixture X10_DIR=/tmp/x100_fixture \\
-      python scripts/x10_stress.py key,...
-after symlinking the sf0.1 star-schema parquets into /tmp/x10_fixture
-(the warm-up query reads lineitem).  Round 9 ran exactly this; the
-two-decade table lives in PERF.md, and the probe caught a real
-robustness bug (select_dsir's over-wide checkpoint).
+Env knobs: X10_REPS (default 10) picks the replication factor and the
+default fixture dir /tmp/x{REPS}_fixture; X10_BASE / X10_DIR override
+paths; X10_TARGET_CELL patches llm_extras._ivf_cells's target_cell for
+every key in the run.  Keys default to those whose scaling story
+changed most recently.  Round 9 ran the second decade by hand and the
+probe caught a real robustness bug (select_dsir's over-wide
+checkpoint); round 10 folded that recipe in here.
 """
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -32,22 +40,37 @@ from pyspark.sql import functions as F  # noqa: E402
 from task_mapreduce_spark.session import get_spark  # noqa: E402
 from task_mapreduce_spark.registry import QUERIES  # noqa: E402
 
+REPS = int(os.environ.get("X10_REPS", "10"))
 BASE = os.environ.get("X10_BASE", "/root/testdata/sf0.1")
-X10 = os.environ.get("X10_DIR", "/tmp/x10_fixture")
+X10 = os.environ.get("X10_DIR", f"/tmp/x{REPS}_fixture")
+TARGET_CELL = os.environ.get("X10_TARGET_CELL")
 KEYS = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "sim_search_ivf", "dedup_semantic", "mine_hard_negatives",
     "dedup_chunks", "embedding_pq", "sim_search_pq",
     "dedup_span_exact", "dedup_span_apply", "select_dsir",
 ]
 
+if TARGET_CELL:
+    # pin the constant-stride knob on the SHARED cell builder for every
+    # consumer in this process (sim_search_ivf / dedup_semantic /
+    # mine_hard_negatives all resolve the module global at call time)
+    from task_mapreduce_spark.operators import llm_extras
+
+    _orig_ivf_cells = llm_extras._ivf_cells
+    llm_extras._ivf_cells = functools.partial(
+        _orig_ivf_cells, target_cell=int(TARGET_CELL)
+    )
+    print(f"target_cell={TARGET_CELL} patched onto _ivf_cells", flush=True)
+
 spark = get_spark("x10-stress")
 spark.sparkContext.setLogLevel("ERROR")
 
 if not os.path.exists(f"{X10}/embeddings.parquet"):
     os.makedirs(X10, exist_ok=True)
+    files = max(4, REPS // 12)
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     n = emb.count()
-    reps = spark.range(10).select(F.col("id").alias("rep"))
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
     (emb.crossJoin(reps)
         .select(
             (F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
@@ -65,7 +88,7 @@ if not os.path.exists(f"{X10}/embeddings.parquet"):
             ).alias("embedding"),
             "label",
         )
-        .coalesce(4).write.mode("overwrite")
+        .coalesce(files).write.mode("overwrite")
         .parquet(f"{X10}/embeddings.parquet"))
     doc = spark.read.parquet(f"{BASE}/documents.parquet")
     m = doc.count()
@@ -78,19 +101,20 @@ if not os.path.exists(f"{X10}/embeddings.parquet"):
             ).alias("text"),
             "lang", "source", "n_chars",
         )
-        .coalesce(4).write.mode("overwrite")
+        .coalesce(files).write.mode("overwrite")
         .parquet(f"{X10}/documents.parquet"))
-    print("fixture built", flush=True)
+    print(f"x{REPS} fixture built at {X10}", flush=True)
 
 
 def mat(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+tag_big = f"x{REPS}" + (f"/cell{TARGET_CELL}" if TARGET_CELL else "")
 mat(QUERIES["tpch_q1"](spark, BASE))  # warm-up, untimed
 for rnd in range(2):
     for key in KEYS:
-        for tag, sf in (("base", BASE), ("x10", X10)):
+        for tag, sf in (("base", BASE), (tag_big, X10)):
             t = time.time()
             mat(QUERIES[key](spark, sf))
             print(f"{key} {tag} r{rnd}: {time.time()-t:.2f}s", flush=True)
