@@ -1750,19 +1750,27 @@ def _ivf_cells(
         # argmax per vector: max_by over (dot DESC, cid ASC) — the
         # partial aggregate runs in the same stage as the broadcast
         # join, so the nlist-times-multiplied rows never hit the
-        # shuffle.
-        return (
+        # shuffle.  The N×nlist pair stream carries SCALARS ONLY
+        # (vec_id, d, cid ≈ 24 B/row): an earlier form dragged the
+        # 64-float vector through every pair row via F.first("v") in
+        # the agg, which at ×100 with the constant-cell knob (nlist ≈
+        # 3k → 625M pair rows × ~560 B) sort-spilled past the 8 GiB
+        # JVM and OOMed outright (round 10) — the select_dsir
+        # minimum-column rule applied to the assign stage.  The vector
+        # re-joins AFTER the argmax from the checkpointed frame: one
+        # N-row co-shuffle, paid once per assign instead of nlist
+        # times per vector.
+        slim = (
             frame.crossJoin(F.broadcast(centroids))
-            .select("vec_id", "v", "nrm", d.alias("d"), "cid")
+            .select("vec_id", d.alias("d"), "cid")
             .groupBy("vec_id")
             .agg(
                 F.max_by(
                     "cid", F.struct(F.col("d"), (-F.col("cid")).alias("nc"))
-                ).alias("cell"),
-                F.first("v").alias("v"),      # constant within the group
-                F.first("nrm").alias("nrm"),  # (one vector per vec_id)
+                ).alias("cell")
             )
         )
+        return frame.select("vec_id", "v", "nrm").join(slim, "vec_id")
 
     # lloyd_steps k-means rounds over the seed assignment: element-wise
     # exact-decimal mean per cell (see sim_search_ivf's docstring for
