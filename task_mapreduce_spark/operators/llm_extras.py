@@ -10,6 +10,8 @@ row path except the explicitly-Arrow multimodal decode.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -1771,6 +1773,79 @@ def _ivf_cells(
             )
         )
         return frame.select("vec_id", "v", "nrm").join(slim, "vec_id")
+
+    def assign_hier(frame: DataFrame, centroids: DataFrame) -> DataFrame:
+        """Two-level coarse-quantizer assign for the constant-cell
+        knob path: flat assign is N×nlist dots, and with nlist ∝ N
+        (the knob's regime) that is N²/s — measured ×6.6 WORSE than
+        the √N default at ×100 (412.7 s vs 62.3 s, round 10) because
+        the assign arm, not the pair arm, dominates.  Group the
+        centroids under ~√nlist hash-ranked super-centroids once
+        (metadata-sized), send each vector to its nearest SUPER
+        (N×√nlist scalar dots), then argmax only within that super's
+        group via a broadcast equi-join on the super id (N×E[group] ≈
+        N×√nlist more) — total assign work N×2√nlist, the standard
+        IVF coarse-quantizer trick (Jégou et al. 2011, public).  The
+        assignment is the classic approximation (a vector whose true
+        nearest centroid lives under a different super lands one cell
+        over — acceptable by construction on the knob path, which
+        trades exactness for linearity; the REGISTERED keys keep the
+        flat √N assign and their oracles replay it verbatim)."""
+        n_cents = centroids.count()  # metadata-sized (nlist rows)
+        g = int(math.ceil(math.sqrt(max(1, n_cents))))
+        hcid = F.conv(
+            F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        # hash-ranked thinning over the nlist-row table: exactly
+        # ceil(nlist/g) supers, never empty (single-partition window
+        # is fine on a metadata-sized frame)
+        wr = Window.orderBy(hcid.asc(), F.col("cid").asc())
+        supers = (
+            centroids.withColumn("rk", F.row_number().over(wr))
+            .filter((F.col("rk") % g) == 1)
+            .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"))
+            .localCheckpoint()  # broadcast to 2 consumers below
+        )
+        ds_cc = F.round(_dot(F.col("cv"), F.col("sv")), 6)
+        cent_sup = (
+            centroids.crossJoin(F.broadcast(supers))
+            .select("cid", "cv", ds_cc.alias("ds"), "sid")
+            .groupBy("cid")
+            .agg(
+                F.max_by(
+                    "sid", F.struct(F.col("ds"), (-F.col("sid")).alias("ns"))
+                ).alias("sid"),
+                F.first("cv").alias("cv"),  # metadata-sized agg: carrying
+                #                             the array here is nlist rows
+            )
+        )
+        ds_vs = F.round(_dot(F.col("v"), F.col("sv")), 6)
+        v_sup = (
+            frame.crossJoin(F.broadcast(supers))
+            .select("vec_id", ds_vs.alias("ds"), "sid")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "sid", F.struct(F.col("ds"), (-F.col("sid")).alias("ns"))
+                ).alias("sid")
+            )
+        )
+        slim = (
+            frame.select("vec_id", "v")
+            .join(v_sup, "vec_id")
+            .join(F.broadcast(cent_sup), "sid")
+            .select("vec_id", d.alias("d"), "cid")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("d"), (-F.col("cid")).alias("nc"))
+                ).alias("cell")
+            )
+        )
+        return frame.select("vec_id", "v", "nrm").join(slim, "vec_id")
+
+    if target_cell is not None:
+        assign = assign_hier
 
     # lloyd_steps k-means rounds over the seed assignment: element-wise
     # exact-decimal mean per cell (see sim_search_ivf's docstring for
