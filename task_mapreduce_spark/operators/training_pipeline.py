@@ -488,28 +488,31 @@ def _pq_slices(
     return ev, cs
 
 
-def _pq_assign(ev: DataFrame, cs: DataFrame, keep_sv: bool = False):
+def _pq_assign(ev: DataFrame, cs: DataFrame):
     """One PQ assignment pass (the Spark twin of scored{r}/codes{r}):
     equi-join the slices against the BROADCAST codebook on the subspace
     id, struct-min (d2, cid) argmin per (vec_id, sub) — map-side
     partials, so the nlist-multiplied rows never hit the shuffle.
-    ``keep_sv`` carries the slice through for a following Lloyd mean
-    (constant within the group, same trick as _ivf_cells' first(v))."""
+    The N·M·K scored stream carries SCALARS ONLY: an earlier form
+    dragged the slice array through the agg via first(sv), which puts
+    an array in the aggregation buffer — ObjectHashAggregate's
+    sort-based fallback then SORTS the whole pair stream with the
+    array attached (the same cliff that OOMed _ivf_cells' flat knob
+    assign at ×100, round 10).  A consumer that needs the slice joins
+    it back from the checkpointed ``ev`` on (vec_id, sub)."""
     scored = ev.join(F.broadcast(cs), "sub").select(
-        "vec_id", "sub", "sv", "cid", _pq_d2("sv", "csl").alias("d2")
+        "vec_id", "sub", "cid", _pq_d2("sv", "csl").alias("d2")
     )
-    aggs = [F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m")]
-    if keep_sv:
-        aggs.append(F.first("sv").alias("sv"))
-    cols = [
-        "vec_id",
-        "sub",
-        F.col("m.cid").alias("code"),
-        F.col("m.d2").alias("err2"),
-    ]
-    if keep_sv:
-        cols.append("sv")
-    return scored.groupBy("vec_id", "sub").agg(*aggs).select(*cols)
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("m.cid").alias("code"),
+            F.col("m.d2").alias("err2"),
+        )
+    )
 
 
 def _pq_encode(
@@ -537,7 +540,11 @@ def _pq_encode(
     ev, cs = _pq_slices(spark, sf_dir, target_k)
     cs = cs.localCheckpoint()
     for _ in range(lloyd_steps):
-        cur = _pq_assign(ev, cs, keep_sv=True).localCheckpoint()
+        cur = (
+            _pq_assign(ev, cs)
+            .join(ev.select("vec_id", "sub", "sv"), ["vec_id", "sub"])
+            .localCheckpoint()
+        )
         means = (
             cur.select("sub", "code", F.posexplode("sv").alias("idx", "val"))
             .groupBy("sub", "code", "idx")
