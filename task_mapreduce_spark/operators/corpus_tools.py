@@ -1057,3 +1057,244 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _KEYWORDS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_fuse_rrf — hybrid lexical+semantic retrieval via RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
+_RRF_ARM_K = 20      # candidate-list depth fed into the fusion per arm
+_RRF_TOPK = 10       # fused results returned per query
+_RRF_N_QUERIES = 5   # doc_id/vec_id < 5: the standing probe set
+#                      (sim_search_topk's _N_QUERIES — same probes, so a
+#                      user can line the fused list up against each arm)
+
+
+def _rrf_sql() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM docs),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(toks) AS tok
+      FROM docs WHERE doc_id < {_RRF_N_QUERIES}
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+      WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    parts AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({k1} + 1))
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.doclen / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS part_score
+      FROM tf
+      JOIN qterms qt ON qt.tok = tf.tok
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      WHERE tf.doc_id <> qt.query_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(part_score) AS DOUBLE), 6) AS bm25
+      FROM parts GROUP BY query_id, doc_id
+    ),
+    lex_top AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS lex_rank
+      FROM lex QUALIFY lex_rank <= {_RRF_ARM_K}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    sem AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             round(list_cosine_similarity(q.ev, c.ev), 6) AS cos
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_RRF_N_QUERIES}
+    ),
+    sem_top AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, doc_id) AS BIGINT)
+               AS sem_rank
+      FROM sem QUALIFY sem_rank <= {_RRF_ARM_K}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0), 9)
+               AS rrf_score
+      FROM lex_top l
+      FULL OUTER JOIN sem_top s
+        ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM fused QUALIFY fused_rank <= {_RRF_TOPK}
+    """
+
+
+@register("retrieval_fuse_rrf", oracle=_rrf_sql())
+def retrieval_fuse_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED hybrid retrieval — the standing-QUERY-SET form of
+    pipeline_retrieval_e2e's single-query RRF, which text_bm25's
+    docstring prescribes ("the same plan batches by adding a query_id
+    column") but no key registers: one plan ranks and fuses ALL
+    queries of the standing 5-probe set (sim_search_topk's), with
+    more-like-this semantics (each query is a DOCUMENT — its own
+    tokens are the lexical query, its embedding the semantic one: the
+    related-items form, where the e2e key is ad-hoc search).  Plan
+    differences are structural, not parametric: per-query PARTITIONED
+    rank windows (WindowGroupLimit, where the single-query key can use
+    a global orderBy+limit), a query-vocab SEMI-JOIN in place of a
+    term literal, and fusion keyed on (query_id, doc_id).  rrf(d) =
+    Σ_arm 1/(60 + rank_arm(d)) (Cormack, Clarke & Buettcher 2009) over
+    the arms whose top-20 list contains d; fused top-10 per query,
+    ties on doc_id; arm ranks stay in the output.
+
+    Determinism: each arm ranks on its ROUNDED score with the repo's
+    standard discipline (BM25 partials rounded(9)→DECIMAL(18,9) before
+    the per-doc sum, cosine rounded(6)); ranks are integers, so the
+    fused score 1/(60+r) + 1/(60+r') is two exact double divisions in
+    a written order — identical in both engines — rounded(9) only for
+    safety.  lex_rank/sem_rank stay in the output (nullable: a doc can
+    reach the fused list through one arm alone).
+
+    100 TB shape: the query-vocab semi-join prunes the corpus token
+    explosion to |Q|-query terms BEFORE the tf aggregation, so the
+    lexical shuffle carries |matching docs| narrow rows, never text;
+    df/stats are tiny broadcast aggregates (text_bm25's plan, batched
+    by query_id exactly as its docstring prescribes); the semantic arm
+    is sim_search_topk's broadcast-probe scan; both per-arm top-20s
+    are rank windows that WindowGroupLimit caps at O(k) state per
+    partition, and the fusion join touches only |Q|·20-row arm lists —
+    metadata-sized regardless of corpus scale.  At a 1 B-doc corpus
+    the semantic arm swaps to the registered IVF index (sim_search_ivf)
+    without touching the fusion contract, which only consumes ranks."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split("text", " ").alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        docs.filter(F.col("doc_id") < _RRF_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), F.explode("toks").alias("tok"))
+        .distinct()
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(qterms.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    parts = (
+        tf.join(F.broadcast(qterms), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("doclen") / F.col("avgdl"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("part_score"),
+        )
+    )
+    lex = parts.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("part_score").cast("double"), 6).alias("bm25")
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_top = (
+        lex.withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
+        .filter(F.col("lex_rank") <= _RRF_ARM_K)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = emb.select("vec_id", dv.alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    q = e.filter(F.col("vec_id") < _RRF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    sem = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem_top = (
+        sem.withColumn("sem_rank", F.row_number().over(ws).cast("bigint"))
+        .filter(F.col("sem_rank") <= _RRF_ARM_K)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+
+    fused = lex_top.join(sem_top, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(wf).cast("bigint")
+    ).filter(F.col("fused_rank") <= _RRF_TOPK)

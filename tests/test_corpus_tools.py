@@ -363,3 +363,63 @@ def test_dedup_chunks_planted_duplicate_docs(spark, tmp_path):
         r = got[(7, cid)]
         assert not r["keep"]
         assert (r["dup_of_doc"], r["dup_of_chunk"]) == (2, cid)
+
+
+# ---------------------------------------------------------------------------
+# retrieval_fuse_rrf
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_score_decomposes_into_arm_ranks(spark, sf_dir):
+    # rrf_score must be EXACTLY the two-term RRF formula over the arm
+    # ranks carried in the row — no hidden third arm, no unrounded drift
+    rows = QUERIES["retrieval_fuse_rrf"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            assert 1 <= r["lex_rank"] <= 20
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            assert 1 <= r["sem_rank"] <= 20
+            expect += 1.0 / (60 + r["sem_rank"])
+        assert r["rrf_score"] == round(expect, 9)
+        assert r["doc_id"] != r["query_id"]  # both arms exclude self
+
+
+def test_rrf_fused_ranks_dense_and_ordered(spark, sf_dir):
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in QUERIES["retrieval_fuse_rrf"](spark, sf_dir).collect():
+        per_q[r["query_id"]].append(r)
+    assert set(per_q) == set(range(5))  # the standing 5-probe set
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) <= 10
+        for prev, cur in zip(rows, rows[1:]):
+            # descending on rounded score, doc_id tiebreak
+            assert (-prev["rrf_score"], prev["doc_id"]) < (
+                -cur["rrf_score"], cur["doc_id"]
+            )
+
+
+def test_rrf_semantic_ranks_agree_with_sim_search_topk(spark, sf_dir):
+    # the fused key's semantic arm is sim_search_topk's construction on
+    # the SAME probe set: wherever a fused row carries a sem_rank inside
+    # topk's depth, the standalone operator must assign the same rank
+    topk = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    }
+    fused = QUERIES["retrieval_fuse_rrf"](spark, sf_dir).collect()
+    checked = 0
+    for r in fused:
+        if r["sem_rank"] is not None and r["sem_rank"] <= 10:
+            assert topk[(r["query_id"], r["doc_id"])] == r["sem_rank"]
+            checked += 1
+    assert checked, "no fused row fell inside topk depth — fixture drift?"

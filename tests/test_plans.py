@@ -170,6 +170,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         #                         corpus-token-count crossJoin verbatim
         "dedup_eval_ari",       # two 1-row pair-count-aggregate crossJoins
         "dedup_index_persist",  # two 1-row store-audit-count crossJoins
+        "retrieval_fuse_rrf",   # 1-row bm25 stats + 5 probe vectors
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -504,6 +505,15 @@ def test_basket_pairs_lift_joins_unhinted_but_aqe_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in final
 
 
+def test_rrf_arm_topk_keeps_window_group_limit(spark, sf_dir):
+    require_window_group_limit(spark)
+    # both arms' per-query top-20 and the fused top-10 are row_number
+    # windows filtered by rank — each must drop rows past k before the
+    # sort buffer grows, or the lexical arm buffers every matching doc
+    plan = plan_of(spark, sf_dir, "retrieval_fuse_rrf")
+    assert plan.count("WindowGroupLimit") >= 3
+
+
 def test_hard_negatives_keeps_window_group_limit(spark, sf_dir):
     require_window_group_limit(spark)
     # the per-vector top-k must drop rows past rank 5 before the sort
@@ -557,6 +567,8 @@ _BROADCAST_HINT_BUDGET = {
     "text_tfidf": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
     "text_keywords": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
     "text_bm25": (2, "1-row (N, avgdl) stats + standing-query-filtered df"),
+    "retrieval_fuse_rrf": (5, "5-query term/vocab/df sides (query-vocab-"
+                              "bounded) + 1-row stats + 5 probe vectors"),
     "text_langid": (1, "|langs|-row n-gram profile"),
     "corpus_mix_weighted": (1, "|langs|-row weight table"),
     "sessions_concurrency": (2, "bucket-maxima prefix aggregates (≤256 rows)"),
