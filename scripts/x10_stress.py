@@ -105,6 +105,28 @@ if not os.path.exists(f"{X10}/embeddings.parquet"):
         .parquet(f"{X10}/documents.parquet"))
     print(f"x{REPS} fixture built at {X10}", flush=True)
 
+if not os.path.exists(f"{X10}/events.parquet"):
+    # events replicas shift user_id so per-user streams stay intact —
+    # the realistic growth mode (more users, same behavior) — and write
+    # ts as epoch-nanos LONG, the real driver layout (TIMESTAMP(NANOS)
+    # is unwritable from Spark; the long form exercises the same
+    # loader branch the empty-corpus fixture pins).
+    from task_mapreduce_spark.tables import load as _load
+
+    ev = _load(spark, BASE, "events")
+    ne = ev.count()
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    (ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * ne).alias("event_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts"),
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .coalesce(max(4, REPS // 12)).write.mode("overwrite")
+        .parquet(f"{X10}/events.parquet"))
+    print(f"x{REPS} events built at {X10}", flush=True)
+
 
 def mat(df):
     df.write.mode("overwrite").format("noop").save()

@@ -1986,3 +1986,111 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_filled"),
         F.col("avg_value").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch conversion attribution (the classic marketing rollup)
+# ---------------------------------------------------------------------------
+
+_ATTR_TOUCHES = ("click", "view")   # the touch channels, purchases convert
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    carried AS (
+      SELECT user_id, event_id, event_type, value, us,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN us END IGNORE NULLS) OVER w
+               AS touch_us
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+      SELECT COALESCE(touch_type, 'unattributed') AS channel,
+             value, us - touch_us AS latency_us
+      FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(latency_us) AS DOUBLE)
+                 / COUNT(latency_us) / 1000000, 6) AS avg_latency_s
+    FROM conv GROUP BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the same user's most recent PRIOR touch event (click/view), and
+    revenue rolls up per touch channel — the classic marketing
+    attribution rollup, and the per-conversion carried-state shape
+    (cohort keys, consent flags, experiment arms) every event pipeline
+    reuses.  Purchases with no prior touch land in 'unattributed'.
+
+    The carried state is ``last(touch, ignorenulls)`` over ONE
+    (user_id)-partitioned (us, event_id) row window ending at 1
+    PRECEDING — strictly-before in the total event order, so a touch
+    sharing a timestamp with the purchase counts iff its event_id is
+    lower (the unique-key tiebreak rule every frame in this repo
+    follows).  Both last_value calls null on the SAME rows, so they
+    pick one row's fields without a struct in the buffer.
+
+    Determinism: time math is integer microseconds; revenue follows
+    the fixed-decimal sum discipline (dsum); avg latency is one
+    double division off two exact integers, rounded 6.
+
+    100 TB shape: identical to sessionize_events — ONE shuffle+sort on
+    (user_id, us, event_id) feeds both carried columns, then the
+    rollup is a tiny hash-agg on ≤|channels|+1 groups with map-side
+    partials.  No join: attribution via carried window state touches
+    each event once, where the naive purchase⋈touch as-of join would
+    shuffle touches a second time."""
+    e = load(spark, sf_dir, "events")
+    t = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_ATTR_TOUCHES)
+    carried = t.select(
+        "event_type",
+        "value",
+        "us",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    conv = carried.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("touch_type", F.lit("unattributed")).alias("channel"),
+        "value",
+        (F.col("us") - F.col("touch_us")).alias("latency_us"),
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        dsum("value").alias("revenue"),
+        F.round(
+            F.sum("latency_us").cast("double")
+            / F.count("latency_us")
+            / 1_000_000,
+            6,
+        ).alias("avg_latency_s"),
+    )

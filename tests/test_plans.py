@@ -567,8 +567,10 @@ _BROADCAST_HINT_BUDGET = {
     "text_tfidf": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
     "text_keywords": (1, "1-row corpus count (|vocab| df join UNHINTED since r8)"),
     "text_bm25": (2, "1-row (N, avgdl) stats + standing-query-filtered df"),
-    "retrieval_fuse_rrf": (5, "5-query term/vocab/df sides (query-vocab-"
-                              "bounded) + 1-row stats + 5 probe vectors"),
+    "retrieval_fuse_rrf": (6, "5-query term/vocab/df sides (query-vocab-"
+                              "bounded) + 1-row stats + 5 probe vectors; 6"
+                              " not 5: the analyzed TREE embeds tf's vocab"
+                              " hint twice (tf feeds both parts and df)"),
     "text_langid": (1, "|langs|-row n-gram profile"),
     "corpus_mix_weighted": (1, "|langs|-row weight table"),
     "sessions_concurrency": (2, "bucket-maxima prefix aggregates (≤256 rows)"),

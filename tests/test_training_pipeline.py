@@ -400,3 +400,65 @@ def test_sim_search_pq_rerank_recall_and_invariants(spark, sf_dir):
     # 50-candidate exact rerank; 0.5 pins the two-stage pattern working
     # without over-fitting the fixture
     assert rec >= 0.5, rec
+
+
+# ---------------------------------------------------------------------------
+# events_attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_matches_pure_python_replay(spark, sf_dir):
+    # independent replay: sort each user's events by (us, event_id),
+    # carry the last prior touch, credit purchases — no SQL shared with
+    # either engine
+    from collections import defaultdict
+    from decimal import Decimal
+
+    ev = sorted(
+        load(spark, sf_dir, "events").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    got = defaultdict(lambda: [0, Decimal(0), 0, 0])  # n, rev, lat_us, n_lat
+    last_touch = {}
+    prev_user = None
+    for r in ev:
+        if r["user_id"] != prev_user:
+            last_touch, prev_user = None, r["user_id"]
+        if hasattr(r["ts"], "timestamp"):  # naive datetime, machine tz UTC
+            from datetime import timezone
+
+            sec = int(r["ts"].replace(tzinfo=timezone.utc).timestamp())
+            us = sec * 1_000_000 + r["ts"].microsecond
+        else:  # epoch-nanos long (legacy reader build)
+            us = r["ts"] // 1000
+        if r["event_type"] == "purchase":
+            ch = last_touch[0] if last_touch else "unattributed"
+            g = got[ch]
+            g[0] += 1
+            g[1] += Decimal(str(round(r["value"], 4)))
+            if last_touch:
+                g[2] += us - last_touch[1]
+                g[3] += 1
+        if r["event_type"] in ("click", "view"):
+            last_touch = (r["event_type"], us)
+    rows = QUERIES["events_attribution"](spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == set(got)
+    for r in rows:
+        n, rev, lat, n_lat = got[r["channel"]]
+        assert r["n_conversions"] == n
+        assert abs(r["revenue"] - float(rev)) < 1e-6
+        if n_lat:
+            assert r["avg_latency_s"] == round(lat / n_lat / 1_000_000, 6)
+        else:
+            assert r["avg_latency_s"] is None
+
+
+def test_attribution_conversions_cover_all_purchases(spark, sf_dir):
+    n_purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    rows = QUERIES["events_attribution"](spark, sf_dir).collect()
+    assert sum(r["n_conversions"] for r in rows) == n_purchases
+    assert {r["channel"] for r in rows} <= {"click", "view", "unattributed"}
