@@ -89,6 +89,9 @@ TS_KEYS = [
     # bucket index = unix_micros(cast(ts_ntz as timestamp)) div 1h —
     # a non-UTC session shifts every bucket boundary (round 7)
     "events_resample_gapfill",
+    # carried-touch order + latency both ride unix_micros(cast(ntz))
+    # (round 10)
+    "events_attribution",
 ]
 
 # keys sensitive to the OTHER runtime-settable semantics a hostile

@@ -48,6 +48,7 @@ KEYS = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "sim_search_ivf", "dedup_semantic", "mine_hard_negatives",
     "dedup_chunks", "embedding_pq", "sim_search_pq",
     "dedup_span_exact", "dedup_span_apply", "select_dsir",
+    "retrieval_fuse_rrf", "events_attribution",
 ]
 
 if TARGET_CELL:
