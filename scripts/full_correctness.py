@@ -50,8 +50,13 @@ TABLES = (
 ).split()
 for t in TABLES:
     p = os.path.join(SF_DIR, f"{t}.parquet")
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    if os.path.isdir(p):
+        # Spark-written table (directory of part files) — e.g. the
+        # partitioning-invariance probe's multi-file rewrite
+        p = os.path.join(p, "*.parquet")
+    elif not os.path.exists(p):
+        continue
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 queries = mod.queries()
 oracles = mod.oracle_sql()

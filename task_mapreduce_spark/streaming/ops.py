@@ -81,13 +81,18 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    sdf = (
-        spark.readStream.schema(raw)
-        # FileStreamSource needs a DIRECTORY; glob-filter to the events
-        # table inside the sf dir (in production: a landing directory).
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # FileStreamSource needs a DIRECTORY.  Two layouts exist: the
+    # driver's single-FILE table ({sf}/events.parquet is a file — glob
+    # down to it from the sf dir) and the Spark-written directory table
+    # (events.parquet IS the landing directory: stream it directly;
+    # a name glob would miss the part-* files inside).  The
+    # partitioning-invariance probe runs the second layout.
+    ev_path = path_of(sf_dir, "events")
+    reader = spark.readStream.schema(raw)
+    if os.path.isdir(ev_path):
+        sdf = reader.parquet(ev_path)
+    else:
+        sdf = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if nanos_as_long:
         sdf = sdf.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
