@@ -2054,7 +2054,26 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials.  No join: attribution via carried window state touches
     each event once, where the naive purchase⋈touch as-of join would
     shuffle touches a second time."""
-    e = load(spark, sf_dir, "events")
+    conv = _attributed_conversions(load(spark, sf_dir, "events"))
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        dsum("value").alias("revenue"),
+        F.round(
+            F.sum("latency_us").cast("double")
+            / F.count("latency_us")
+            / 1_000_000,
+            6,
+        ).alias("avg_latency_s"),
+    )
+
+
+def _attributed_conversions(e: DataFrame) -> DataFrame:
+    """events_attribution's per-conversion core over an arbitrary
+    events-shaped frame: (event_id, channel, value, latency_us), one
+    row per purchase — factored so the incremental-composition
+    property test can run the IDENTICAL rule over time-sliced batches
+    with carried state (the 100 TB operating mode: daily ingest, each
+    user's last touch carried forward, never a full-history rescan)."""
     t = e.select(
         "user_id",
         "event_id",
@@ -2069,6 +2088,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_touch = F.col("event_type").isin(*_ATTR_TOUCHES)
     carried = t.select(
+        "event_id",
         "event_type",
         "value",
         "us",
@@ -2079,18 +2099,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("touch_us"),
     )
-    conv = carried.filter(F.col("event_type") == "purchase").select(
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
         F.coalesce("touch_type", F.lit("unattributed")).alias("channel"),
         "value",
         (F.col("us") - F.col("touch_us")).alias("latency_us"),
-    )
-    return conv.groupBy("channel").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
-        dsum("value").alias("revenue"),
-        F.round(
-            F.sum("latency_us").cast("double")
-            / F.count("latency_us")
-            / 1_000_000,
-            6,
-        ).alias("avg_latency_s"),
     )

@@ -462,3 +462,57 @@ def test_attribution_conversions_cover_all_purchases(spark, sf_dir):
     rows = QUERIES["events_attribution"](spark, sf_dir).collect()
     assert sum(r["n_conversions"] for r in rows) == n_purchases
     assert {r["channel"] for r in rows} <= {"click", "view", "unattributed"}
+
+
+def test_attribution_incremental_composition(spark, sf_dir):
+    # the 100 TB operating mode: process events in time-sliced batches,
+    # carrying only each user's LAST batch-1 touch forward — the
+    # per-conversion attribution must equal the full-history run
+    from task_mapreduce_spark.operators.training_pipeline import (
+        _attributed_conversions,
+    )
+
+    e = load(spark, sf_dir, "events")
+    rows = e.select("event_id", "user_id", "event_type", "ts").collect()
+
+    def us_of(r):
+        if hasattr(r["ts"], "timestamp"):
+            from datetime import timezone
+
+            return (
+                int(r["ts"].replace(tzinfo=timezone.utc).timestamp()) * 10**6
+                + r["ts"].microsecond
+            )
+        return r["ts"] // 1000
+
+    ordered = sorted(rows, key=lambda r: (us_of(r), r["event_id"]))
+    pivot = len(ordered) // 2
+    b1, b2 = ordered[:pivot], ordered[pivot:]
+    last_touch = {}
+    for r in b1:  # already in (us, event_id) order
+        if r["event_type"] in ("click", "view"):
+            last_touch[r["user_id"]] = r["event_id"]
+    b1_ids = [r["event_id"] for r in b1]
+    carry_ids = set(last_touch.values())
+    b2_ids = [r["event_id"] for r in b2] + sorted(carry_ids)
+
+    def conv_map(df):
+        return {
+            r["event_id"]: (r["channel"], r["latency_us"])
+            for r in _attributed_conversions(df).collect()
+        }
+
+    full = conv_map(e)
+    part1 = conv_map(e.filter(F.col("event_id").isin(b1_ids)))
+    part2 = conv_map(e.filter(F.col("event_id").isin(b2_ids)))
+    assert set(part1) | set(part2) == set(full)
+    assert not set(part1) & set(part2)
+    merged = {**part1, **part2}
+    assert merged == full
+    # the carried state is REAL: some batch-2 purchase must have been
+    # attributed to a batch-1 touch, or the split proved nothing
+    b2_purchases_with_b1_touch = [
+        eid for eid in part2
+        if eid not in carry_ids and merged[eid][0] != "unattributed"
+    ]
+    assert b2_purchases_with_b1_touch or not part2, "vacuous split"
