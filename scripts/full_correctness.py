@@ -37,11 +37,15 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 import duckdb  # noqa: E402
 
-spark = (
-    SparkSession.builder.master("local[8]")
-    .appName("full-correctness")
-    .getOrCreate()
-)
+_builder = SparkSession.builder.master("local[8]").appName("full-correctness")
+if os.environ.get("FC_SHUFFLE_PARTITIONS"):
+    # merge-order / partition-count invariance probe: a hostile (prime)
+    # shuffle partition count perturbs every partial-aggregate merge
+    # tree — the decimal-fold discipline must hold values bit-stable
+    _builder = _builder.config(
+        "spark.sql.shuffle.partitions", os.environ["FC_SHUFFLE_PARTITIONS"]
+    )
+spark = _builder.getOrCreate()
 
 con = duckdb.connect()
 TABLES = (
