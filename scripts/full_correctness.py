@@ -45,6 +45,11 @@ if os.environ.get("FC_SHUFFLE_PARTITIONS"):
     _builder = _builder.config(
         "spark.sql.shuffle.partitions", os.environ["FC_SHUFFLE_PARTITIONS"]
     )
+for kv in filter(None, os.environ.get("FC_CONF", "").split(";")):
+    # generic probe confs, "k=v;k=v" — e.g. FC_CONF=spark.sql.adaptive
+    # .enabled=false proves no plan's VALUES depend on runtime replan
+    k, _, v = kv.partition("=")
+    _builder = _builder.config(k.strip(), v.strip())
 spark = _builder.getOrCreate()
 
 con = duckdb.connect()
