@@ -72,11 +72,10 @@ def main() -> int:
     spark.stop()
     # fresh process for the sweep: the probe must see the rewrite the
     # way the driver would — vanilla session, importlib load
-    env = dict(os.environ, SIM_SF_DIR=OUT)
     sweep = os.path.join(REPO, "scripts", "full_correctness.py")
     r = subprocess.run(
         [sys.executable, sweep, OUT, f"{OUT}/correctness.json"],
-        env=env, cwd="/tmp",
+        cwd="/tmp",
     )
     return r.returncode
 

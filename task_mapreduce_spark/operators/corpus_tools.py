@@ -1204,7 +1204,7 @@ def retrieval_fuse_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = (
         docs.select("doc_id", F.explode("toks").alias("tok"))
-        .join(F.broadcast(qterms.select("tok").distinct()), "tok")
+        .join(F.broadcast(qterms.select("tok").distinct()), "tok", "leftsemi")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

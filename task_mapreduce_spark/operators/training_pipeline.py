@@ -2045,8 +2045,8 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick one row's fields without a struct in the buffer.
 
     Determinism: time math is integer microseconds; revenue follows
-    the fixed-decimal sum discipline (dsum); avg latency is one
-    double division off two exact integers, rounded 6.
+    the fixed-decimal sum discipline (dsum); avg latency is double
+    division of two exact integer aggregates (then µs → s), rounded 6.
 
     100 TB shape: identical to sessionize_events — ONE shuffle+sort on
     (user_id, us, event_id) feeds both carried columns, then the
