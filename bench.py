@@ -13,13 +13,14 @@ projection).  Prints exactly ONE JSON line:
 start/middle/end: if those three differ materially, the total moved
 with ambient host load, not with the code.
 
-The driver records only the LAST ~2 KB of stdout (a tail capture), so
-the line is laid out to survive head-truncation: per-key timings come
-FIRST ordered fastest->slowest, and the envelope (total/unit/sf)
-comes LAST — whatever is cut is the fastest, least informative keys,
-and the slowest keys plus the totals always make the artifact.  The
-line itself is compact-separated and centisecond-rounded to keep it
-as close to the capture window as 105 keys allow.
+The driver records only the LAST ~2 KB of stdout (a tail capture) and
+parses it as JSON.  Through rounds 8-10 the single per-key line grew
+past that window, so every driver bench record showed ``"parsed":
+null`` with a truncated string (round-10 verdict's one real wart).
+Fix: the printed line is now a COMPACT summary guaranteed to fit —
+total, calibration, the slowest 10 keys, key/error counts — and the
+full per-key map goes to ``BENCH_DETAIL.json`` beside this script
+(committed per round), which the summary line points at.
 
 Warm-up: the first query pays JVM/session start-up; we run the
 flagship once untimed first so per-key numbers reflect plan cost.
@@ -78,12 +79,34 @@ def main() -> int:
     calibration["end"] = _calibrate()
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    # fastest first, errors (-1) last: the tail capture must always
-    # show the slowest keys and any failures.
-    ordered = dict(sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1])))
+    errors = sorted(k for k, t in timings.items() if t < 0)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump({
+            "queries": dict(sorted(timings.items())),
+            "calibration": calibration,
+            "metric": "total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+        }, fh, separators=(",", ":"), indent=None)
+        fh.write("\n")
+    slowest = dict(
+        sorted(
+            ((k, t) for k, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    # ONE compact line, < ~700 chars: always inside the tail window
     print(json.dumps({
-        "queries": ordered,
+        "queries": slowest,
+        "n_keys": len(timings),
+        "n_errors": len(errors),
+        "errors": errors[:5],
         "calibration": calibration,
+        "detail": "BENCH_DETAIL.json",
         "metric": "total_wall",
         "value": total,
         "unit": "sec",

@@ -70,7 +70,9 @@ if not os.path.exists(f"{X10}/embeddings.parquet"):
     os.makedirs(X10, exist_ok=True)
     files = max(4, REPS // 12)
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    n = emb.count()
+    # max(id)+1 stride, same rationale as the events block below:
+    # uniqueness is the only promised property, not density
+    n = emb.agg(F.max("vec_id") + 1).collect()[0][0]
     reps = spark.range(REPS).select(F.col("id").alias("rep"))
     (emb.crossJoin(reps)
         .select(
@@ -92,7 +94,7 @@ if not os.path.exists(f"{X10}/embeddings.parquet"):
         .coalesce(files).write.mode("overwrite")
         .parquet(f"{X10}/embeddings.parquet"))
     doc = spark.read.parquet(f"{BASE}/documents.parquet")
-    m = doc.count()
+    m = doc.agg(F.max("doc_id") + 1).collect()[0][0]
     (doc.crossJoin(reps)
         .select(
             (F.col("doc_id") + F.col("rep") * m).alias("doc_id"),
@@ -115,13 +117,22 @@ if not os.path.exists(f"{X10}/events.parquet"):
     from task_mapreduce_spark.tables import load as _load
 
     ev = _load(spark, BASE, "events")
-    ne = ev.count()
+    # offsets from max(id)+1, NOT count/1e6: FIXTURES.md only promises
+    # event_id is UNIQUE (not dense in [0, ne)) and says nothing about
+    # the user_id domain — sparse ids under a count-based stride would
+    # collide across replicas, silently breaking the dedup-key
+    # uniqueness and the per-user-streams-intact premise the scaling
+    # numbers rest on (round-10 ADVICE).  One tiny 1-row aggregate.
+    mx = ev.agg(
+        (F.max("event_id") + 1).alias("estride"),
+        (F.max("user_id") + 1).alias("ustride"),
+    ).collect()[0]
     reps = spark.range(REPS).select(F.col("id").alias("rep"))
     (ev.crossJoin(reps)
         .select(
-            (F.col("event_id") + F.col("rep") * ne).alias("event_id"),
+            (F.col("event_id") + F.col("rep") * mx["estride"]).alias("event_id"),
             (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts"),
-            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            (F.col("user_id") + F.col("rep") * mx["ustride"]).alias("user_id"),
             "event_type", "value", "props",
         )
         .coalesce(max(4, REPS // 12)).write.mode("overwrite")

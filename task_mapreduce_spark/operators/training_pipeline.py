@@ -2105,3 +2105,140 @@ def _attributed_conversions(e: DataFrame) -> DataFrame:
         "value",
         (F.col("us") - F.col("touch_us")).alias("latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_incremental — attribution over time-sliced batches
+# with carried last-touch state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_incremental",
+    # the oracle is the FROM-SCRATCH carried window verbatim (the
+    # per-conversion form of events_attribution's oracle), with the
+    # batch tag derived from the same integer-midpoint pivot — the
+    # dedup_cluster_incremental proof pattern: the incremental path
+    # must reproduce the full-history attribution bit-exactly
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    p AS (SELECT (MIN(us) + MAX(us)) // 2 AS pivot FROM t),
+    carried AS (
+      SELECT event_id, event_type, value, us,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN us END IGNORE NULLS) OVER w
+               AS touch_us
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT c.event_id,
+           CAST(CASE WHEN c.us < p.pivot THEN 1 ELSE 2 END AS BIGINT)
+             AS batch,
+           COALESCE(c.touch_type, 'unattributed') AS channel,
+           c.value,
+           CAST(c.us - c.touch_us AS BIGINT) AS latency_us
+    FROM carried c CROSS JOIN p
+    WHERE c.event_type = 'purchase'
+    """,
+)
+def events_attribution_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events_attribution's 100 TB OPERATING MODE as a registered key:
+    events arrive in time-sliced batches, each batch attributes its own
+    purchases using only (a) the batch itself and (b) a per-user
+    CARRIED-STATE table — the last prior touch per user — never the
+    full history.  The result (one row per purchase: batch, channel,
+    value, latency) must equal the from-scratch single-window run
+    row-for-row, which is exactly what the oracle computes.
+
+    Mechanics (the dedup_cluster_incremental pattern applied to window
+    state): the pivot is the integer midpoint of [min_us, max_us] — a
+    1-row aggregate broadcast back, integer division identical in both
+    engines.  Batch 1 runs :func:`_attributed_conversions` as-is.  Its
+    carried state is ONE |users|-row aggregate (``max_by`` over the
+    unique (us, event_id) order, the repo's tiebreak rule).  Batch 2
+    prepends the state rows — shaped as ordinary touch events, with ts
+    reconstructed via ``timestamp_micros`` (an exact µs round-trip
+    under the pinned UTC session) — and runs the IDENTICAL rule.
+    State rows are touches, never purchases, so they emit no
+    conversions of their own; a batch-2 purchase whose user touched
+    last in batch 1 lands on the carried row, with the same latency the
+    full-history window would produce (the carried touch IS that
+    user's last pre-pivot touch, and any later batch-2 touch overrides
+    it inside the window — composition is exact, not approximate).
+
+    Why this is the 100 TB design: daily ingest attributes |batch|
+    events plus a |users|-row state join, instead of re-sorting the
+    full history each day — the same reason dedup_incremental probes a
+    store instead of rescanning the corpus.  The state table is itself
+    mergeable (max_by over (us, event_id) composes associatively), so
+    the two-batch proof here extends to any slicing — the
+    incremental-composition property test iterates the split point.
+
+    Determinism: time math is integer µs end-to-end; value is a raw
+    pass-through (no float arithmetic); every window orders by the
+    unique (us, event_id)."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = (
+        e.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+        .select(F.expr("(mn + mx) div 2").alias("pivot"))
+    )
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    ep = e.select(*cols, us.alias("us")).crossJoin(F.broadcast(bounds))
+    b1 = ep.filter(F.col("us") < F.col("pivot")).select(*cols)
+    b2 = ep.filter(F.col("us") >= F.col("pivot")).select(*cols)
+
+    conv1 = _attributed_conversions(b1)
+
+    # carried state: each user's last batch-1 touch — |users| rows
+    st = b1.filter(F.col("event_type").isin(*_ATTR_TOUCHES)).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    state = (
+        st.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "us"),
+                F.struct("us", "event_id"),
+            ).alias("t")
+        )
+        .select(
+            "user_id",
+            F.col("t.event_id").alias("event_id"),
+            F.col("t.event_type").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            # cast to NTZ so the union matches load()'s normalized ts
+            # type; exact under the pinned UTC session either way
+            F.timestamp_micros(F.col("t.us")).cast("timestamp_ntz").alias("ts"),
+        )
+    )
+    conv2 = _attributed_conversions(b2.unionByName(state.select(*cols)))
+
+    return (
+        conv1.select("event_id", F.lit(1).alias("batch"), "channel",
+                     "value", "latency_us")
+        .unionByName(
+            conv2.select("event_id", F.lit(2).alias("batch"), "channel",
+                         "value", "latency_us")
+        )
+        .select(
+            "event_id",
+            F.col("batch").cast("bigint").alias("batch"),
+            "channel",
+            "value",
+            F.col("latency_us").cast("bigint").alias("latency_us"),
+        )
+    )

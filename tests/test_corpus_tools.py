@@ -420,6 +420,9 @@ def test_rrf_semantic_ranks_agree_with_sim_search_topk(spark, sf_dir):
     checked = 0
     for r in fused:
         if r["sem_rank"] is not None and r["sem_rank"] <= 10:
-            assert topk[(r["query_id"], r["doc_id"])] == r["sem_rank"]
+            # .get, not [·]: a rank disagreement that pushes the pair
+            # past topk's depth must read as a rank mismatch, not a
+            # KeyError (round-10 ADVICE)
+            assert topk.get((r["query_id"], r["doc_id"])) == r["sem_rank"]
             checked += 1
     assert checked, "no fused row fell inside topk depth — fixture drift?"

@@ -424,13 +424,14 @@ def test_attribution_matches_pure_python_replay(spark, sf_dir):
     for r in ev:
         if r["user_id"] != prev_user:
             last_touch, prev_user = None, r["user_id"]
-        if hasattr(r["ts"], "timestamp"):  # naive datetime, machine tz UTC
-            from datetime import timezone
+        # tables.load normalizes events.ts to TIMESTAMP_NTZ on every
+        # reader build, so collect() always yields naive datetimes
+        # (machine tz UTC) — no epoch-nanos-long branch can be reached
+        # here (round-10 ADVICE: the old legacy branch was dead code)
+        from datetime import timezone
 
-            sec = int(r["ts"].replace(tzinfo=timezone.utc).timestamp())
-            us = sec * 1_000_000 + r["ts"].microsecond
-        else:  # epoch-nanos long (legacy reader build)
-            us = r["ts"] // 1000
+        sec = int(r["ts"].replace(tzinfo=timezone.utc).timestamp())
+        us = sec * 1_000_000 + r["ts"].microsecond
         if r["event_type"] == "purchase":
             ch = last_touch[0] if last_touch else "unattributed"
             g = got[ch]
@@ -476,14 +477,14 @@ def test_attribution_incremental_composition(spark, sf_dir):
     rows = e.select("event_id", "user_id", "event_type", "ts").collect()
 
     def us_of(r):
-        if hasattr(r["ts"], "timestamp"):
-            from datetime import timezone
+        # load() always yields TIMESTAMP_NTZ datetimes (see the replay
+        # test above) — no legacy long branch
+        from datetime import timezone
 
-            return (
-                int(r["ts"].replace(tzinfo=timezone.utc).timestamp()) * 10**6
-                + r["ts"].microsecond
-            )
-        return r["ts"] // 1000
+        return (
+            int(r["ts"].replace(tzinfo=timezone.utc).timestamp()) * 10**6
+            + r["ts"].microsecond
+        )
 
     ordered = sorted(rows, key=lambda r: (us_of(r), r["event_id"]))
     pivot = len(ordered) // 2
@@ -516,3 +517,60 @@ def test_attribution_incremental_composition(spark, sf_dir):
         if eid not in carry_ids and merged[eid][0] != "unattributed"
     ]
     assert b2_purchases_with_b1_touch or not part2, "vacuous split"
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_incremental_equals_from_scratch(spark, sf_dir):
+    # the registered key's rows must equal the from-scratch
+    # per-conversion run (channel, value, latency per purchase), with
+    # the batch tag matching the integer-midpoint pivot
+    from task_mapreduce_spark.operators.training_pipeline import (
+        _attributed_conversions,
+    )
+
+    got = {
+        r["event_id"]: (r["batch"], r["channel"], r["value"],
+                        r["latency_us"])
+        for r in QUERIES["events_attribution_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = e.agg(F.min(us), F.max(us)).first()
+    pivot = (mn + mx) // 2
+    scratch = _attributed_conversions(e)
+    want = {}
+    for r in scratch.join(
+        e.select("event_id", us.alias("us")), "event_id"
+    ).collect():
+        batch = 1 if r["us"] < pivot else 2
+        want[r["event_id"]] = (
+            batch, r["channel"], r["value"], r["latency_us"]
+        )
+    assert got == want
+
+
+def test_attribution_incremental_carried_state_fires(spark, sf_dir):
+    # the split must be NON-VACUOUS: some batch-2 purchase has to be
+    # attributed to a batch-1 touch (latency spans the pivot), or the
+    # key proved nothing about carried state
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = e.agg(F.min(us), F.max(us)).first()
+    pivot = (mn + mx) // 2
+    rows = (
+        QUERIES["events_attribution_incremental"](spark, sf_dir)
+        .join(e.select("event_id", us.alias("us")), "event_id")
+        .filter(
+            (F.col("batch") == 2)
+            & F.col("latency_us").isNotNull()
+            & (F.col("us") - F.col("latency_us") < F.lit(pivot))
+        )
+        .count()
+    )
+    assert rows > 0, "no cross-pivot attribution — vacuous split"
