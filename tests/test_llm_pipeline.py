@@ -507,3 +507,40 @@ def test_hard_negatives_are_cross_label_and_densely_ranked(spark, sf_dir):
         assert len(rs) <= _HARDNEG_K
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# sim_index_persist
+# ---------------------------------------------------------------------------
+
+
+def test_sim_index_persist_round_trip_bit_exact(spark, sf_dir):
+    # the reloaded-index path must reproduce the live-build path
+    # BIT-exactly: same (query, candidate) pairs, same rounded scores,
+    # same ranks — parquet round-trips IEEE doubles exactly, so any
+    # difference is a store defect, not float noise
+    live = {
+        (r["query_id"], r["vec_id"]): (r["score"], r["rank"])
+        for r in QUERIES["sim_search_ivf"](spark, sf_dir).collect()
+    }
+    reloaded = {
+        (r["query_id"], r["vec_id"]): (r["score"], r["rank"])
+        for r in QUERIES["sim_index_persist"](spark, sf_dir).collect()
+    }
+    assert reloaded == live
+
+
+def test_sim_index_persist_audit_counts(spark, sf_dir):
+    from task_mapreduce_spark.tables import load as _load
+
+    rows = QUERIES["sim_index_persist"](spark, sf_dir).collect()
+    assert rows
+    n = _load(spark, sf_dir, "embeddings").count()
+    vecs = {r["index_vecs"] for r in rows}
+    cells = {r["index_cells"] for r in rows}
+    # one value each, stamped on every row
+    assert vecs == {n}, "reloaded postings lost or duplicated rows"
+    assert len(cells) == 1
+    # non-empty Lloyd cells: between 1 and nlist <= ~2*sqrt(N)
+    (c,) = cells
+    assert 1 <= c <= 2 * int(n ** 0.5) + 2
