@@ -89,3 +89,87 @@ def test_approx_topk_matches_exact_in_heavy_hitter_regime(spark, sf_dir):
     assert len(sketch) == 10
     for r in sketch:
         assert r["count"] == exact[r["item"]], (r, exact[r["item"]])
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_merge
+# ---------------------------------------------------------------------------
+
+
+def _qm_quantiles_from_hist(hist: dict[int, int], pcts) -> dict[int, int]:
+    """Pure-python quantile read over a {bin: cnt} histogram — the
+    same all-integer rule the operator and oracle use."""
+    total = sum(hist.values())
+    out = {}
+    cum = 0
+    reads = sorted(pcts)
+    bins = sorted(hist)
+    i = 0
+    for b in bins:
+        cum += hist[b]
+        while i < len(reads) and 100 * cum >= reads[i] * total:
+            out[reads[i]] = b
+            i += 1
+    return out
+
+
+def test_quantile_merge_equals_recompute_any_split(spark, sf_dir):
+    # merged-partial quantiles must be BIT-equal to the from-scratch
+    # single-pass read for ANY grouping of days — integer addition is
+    # associative/commutative, so every split lands identically
+    from task_mapreduce_spark.operators.aggregations import _QM_PCTS
+
+    e = load(spark, sf_dir, "events")
+    rows = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor("value").cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # from-scratch histogram (ignores days entirely)
+    full: dict[int, int] = {}
+    for r in rows:
+        full[r["bin"]] = full.get(r["bin"], 0) + r["cnt"]
+    want = _qm_quantiles_from_hist(full, _QM_PCTS)
+
+    # three different day-splits, merged per-split then combined
+    days = sorted({r["day"] for r in rows})
+    for pivot in (1, len(days) // 2, len(days) - 1):
+        g1 = set(days[:pivot])
+        h1: dict[int, int] = {}
+        h2: dict[int, int] = {}
+        for r in rows:
+            h = h1 if r["day"] in g1 else h2
+            h[r["bin"]] = h.get(r["bin"], 0) + r["cnt"]
+        merged = dict(h1)
+        for b, c in h2.items():
+            merged[b] = merged.get(b, 0) + c
+        assert merged == full, f"split {pivot}: merged hist drifted"
+        assert _qm_quantiles_from_hist(merged, _QM_PCTS) == want
+
+    # and the registered key (persist → reload → merge) agrees
+    got = {
+        r["q_pct"]: r["est_value"]
+        for r in QUERIES["agg_quantile_merge"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_quantile_merge_reads_are_valid_quantiles(spark, sf_dir):
+    # each read's cumulative count actually reaches ceil(q*N), and the
+    # previous bin's cumulative count does not (minimality)
+    out = {
+        r["q_pct"]: r
+        for r in QUERIES["agg_quantile_merge"](spark, sf_dir).collect()
+    }
+    assert set(out) == {25, 50, 75, 90, 99}
+    e = load(spark, sf_dir, "events")
+    n = e.count()
+    for q, r in out.items():
+        assert r["total_n"] == n
+        assert 100 * r["cum_at"] >= q * n
+        below = e.filter(F.floor("value") < r["est_value"]).count()
+        assert 100 * below < q * n, "not the MINIMAL satisfying bin"
+        assert r["n_days"] >= 1 and r["n_partial_rows"] >= r["n_days"]
