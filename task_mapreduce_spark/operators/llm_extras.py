@@ -1682,6 +1682,24 @@ def _ivf_cells_ctes(steps: int = _IVF_LLOYD_STEPS) -> str:
 _IVF_CELLS_CTES = _ivf_cells_ctes(_IVF_LLOYD_STEPS)
 
 
+def _ivf_assign_topology(target_cell: int | None) -> str:
+    """The ONE rule deciding which assign topology :func:`_ivf_cells`
+    builds — named (rather than inlined) so the regime pin is
+    refactor-proof and directly testable:
+
+    - ``"flat"`` (default, registered keys): N × nlist exact dots.
+      Correct for the √N regime, where nlist grows as √N and the
+      oracles replay the assignment verbatim.
+    - ``"two_level"`` (constant-cell knob): the coarse-quantizer
+      assign.  With nlist ∝ N (the knob's regime) the flat arm is
+      N²/s — measured ×6.6 WORSE at ×100 (412.7 s flat vs 62.3 s
+      two-level, round 10) — so the knob path MUST take the two-level
+      arm; a refactor that silently reverts it re-opens the 412 s
+      cliff.  Pinned by tests/test_plans.py::
+      test_two_level_assign_engages_on_knob_path."""
+    return "flat" if target_cell is None else "two_level"
+
+
 def _ivf_cells(
     e: DataFrame,
     lloyd_steps: int = _IVF_LLOYD_STEPS,
@@ -1844,7 +1862,7 @@ def _ivf_cells(
         )
         return frame.select("vec_id", "v", "nrm").join(slim, "vec_id")
 
-    if target_cell is not None:
+    if _ivf_assign_topology(target_cell) == "two_level":
         assign = assign_hier
 
     # lloyd_steps k-means rounds over the seed assignment: element-wise

@@ -690,3 +690,45 @@ def test_no_single_partition_funnel_without_aggregate(all_extended_plans):
                 or "SortAggregate" in s
                 for s in subtree
             ), f"{key}: SinglePartition funnel over a non-aggregate:\n{line}"
+
+
+def test_two_level_assign_engages_on_knob_path(spark, sf_dir):
+    # the regime pin (round-10 verdict #7): the constant-cell knob MUST
+    # route through the two-level coarse-quantizer assign — the flat
+    # arm measured 412.7 s vs 62.3 s at x100 — while the registered
+    # keys keep the flat assign their oracles replay verbatim
+    from task_mapreduce_spark.operators.llm_extras import (
+        _ivf_assign_topology,
+        _ivf_cells,
+        _normed_vectors,
+    )
+    from task_mapreduce_spark.tables import load
+
+    assert _ivf_assign_topology(None) == "flat"
+    for s in (1, 8, 4096):
+        assert _ivf_assign_topology(s) == "two_level"
+
+    # topology shows in the analyzed plan: the two-level assign ranks
+    # centroids under supers and vectors under supers before the final
+    # within-group argmax, so it carries MORE max_by aggregates than
+    # the flat arm's single one (per assign round)
+    e = _normed_vectors(load(spark, sf_dir, "embeddings"))
+    flat, _ = _ivf_cells(e, lloyd_steps=0)
+    hier, _ = _ivf_cells(e, lloyd_steps=0, target_cell=8)
+
+    def n_maxby(df) -> int:
+        return str(df._jdf.queryExecution().analyzed()).count("max_by")
+
+    assert n_maxby(flat) == 1, "flat assign should be one argmax"
+    assert n_maxby(hier) >= 3, (
+        "knob path lost the two-level assign — the x100 flat-assign "
+        "cliff (412.7 s) is back"
+    )
+
+    # and the knob assignment is still a TOTAL function onto real cells
+    n = e.count()
+    assert hier.count() == n
+    cents_ids = {r["cid"] for r in _ivf_cells(
+        e, lloyd_steps=0, target_cell=8)[1].collect()}
+    cells = {r["cell"] for r in hier.select("cell").distinct().collect()}
+    assert cells <= cents_ids
