@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""xN scaling stress for the GRAPH family (graph_pagerank, graph_bfs,
+graph_triangles, dedup_cluster_cc): replicate the sf0.1 fixtures xN as
+DISJOINT copies and warm-interleave base vs xN runs.
+
+Disjointness is the point, and it is why this harness is separate from
+x10_stress.py: that script's documents replicas are NEAR-DUPLICATES
+(one appended token), which is the right growth mode for the dedup
+keys but the WRONG one for graph keys — near-dup replicas inflate
+every similarity clique from c members to ~N*c, growing triangles as
+N^3 and measuring a different graph, not a bigger one.  Here:
+
+- documents: replica r > 0 prefixes EVERY token with "r{r}_" — a
+  per-replica bijection on the vocabulary, so each replica's exact-
+  Jaccard similarity graph is isomorphic to the base graph and shares
+  no cross-replica edge.  N disjoint copies of the same components.
+- star tables: keys shift by rep * (max(key)+1) — N disjoint copies of
+  the customer<->supplier bipartite graph (offsets from max+1, never
+  from count: only uniqueness is promised, not density).
+
+This replication is also what forced the parity node encoding
+(graph.py): the old additive supplier offset (+1e6) collided with
+replicated custkeys past rep ~66.
+
+Usage:
+  python scripts/xgraph_stress.py [key,key,...]     # x10
+  XG_REPS=100 python scripts/xgraph_stress.py       # x100
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from task_mapreduce_spark.session import get_spark  # noqa: E402
+from task_mapreduce_spark.registry import QUERIES  # noqa: E402
+
+REPS = int(os.environ.get("XG_REPS", "10"))
+BASE = os.environ.get("XG_BASE", "/root/testdata/sf0.1")
+XG = os.environ.get("XG_DIR", f"/tmp/xg{REPS}_fixture")
+KEYS = sys.argv[1].split(",") if len(sys.argv) > 1 else [
+    "graph_pagerank", "graph_bfs", "graph_triangles", "dedup_cluster_cc",
+]
+
+spark = get_spark("xgraph-stress")
+spark.sparkContext.setLogLevel("ERROR")
+
+if not os.path.exists(f"{XG}/lineitem.parquet"):
+    os.makedirs(XG, exist_ok=True)
+    files = max(8, REPS // 4)
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+
+    def stride_of(df, key):
+        return df.agg(F.max(key) + 1).collect()[0][0]
+
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    supp = spark.read.parquet(f"{BASE}/supplier.parquet")
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    ck, sk, ok = (stride_of(cust, "c_custkey"), stride_of(supp, "s_suppkey"),
+                  stride_of(orders, "o_orderkey"))
+
+    (cust.crossJoin(reps)
+        .select((F.col("c_custkey") + F.col("rep") * ck).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .coalesce(files).write.mode("overwrite")
+        .parquet(f"{XG}/customer.parquet"))
+    (supp.crossJoin(reps)
+        .select((F.col("s_suppkey") + F.col("rep") * sk).alias("s_suppkey"),
+                "s_name", "s_nationkey", "s_acctbal")
+        .coalesce(files).write.mode("overwrite")
+        .parquet(f"{XG}/supplier.parquet"))
+    (orders.crossJoin(reps)
+        .select((F.col("o_orderkey") + F.col("rep") * ok).alias("o_orderkey"),
+                (F.col("o_custkey") + F.col("rep") * ck).alias("o_custkey"),
+                "o_orderstatus", "o_totalprice", "o_orderdate",
+                "o_orderpriority")
+        .coalesce(files).write.mode("overwrite")
+        .parquet(f"{XG}/orders.parquet"))
+    (li.crossJoin(reps)
+        .select((F.col("l_orderkey") + F.col("rep") * ok).alias("l_orderkey"),
+                "l_partkey",
+                (F.col("l_suppkey") + F.col("rep") * sk).alias("l_suppkey"),
+                "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+                "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+        .coalesce(files).write.mode("overwrite")
+        .parquet(f"{XG}/lineitem.parquet"))
+
+    doc = spark.read.parquet(f"{BASE}/documents.parquet")
+    dk = stride_of(doc, "doc_id")
+    (doc.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * dk).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(
+                            F.lit("r"), F.col("rep").cast("string"),
+                            F.lit("_"), t),
+                    ),
+                    " ",
+                )
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .coalesce(files).write.mode("overwrite")
+        .parquet(f"{XG}/documents.parquet"))
+    print(f"x{REPS} disjoint graph fixture built at {XG}", flush=True)
+
+
+def mat(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+mat(QUERIES["tpch_q1"](spark, BASE))  # warm-up, untimed
+for rnd in range(2):
+    for key in KEYS:
+        for tag, sf in (("base", BASE), (f"x{REPS}", XG)):
+            t = time.time()
+            mat(QUERIES[key](spark, sf))
+            print(f"{key} {tag} r{rnd}: {time.time()-t:.2f}s", flush=True)

@@ -36,7 +36,14 @@ from task_mapreduce_spark.tables import load
 _PR_SCALE = 1_000_000_000          # fixed-point: 1.0 == 1e9
 _PR_BASE = 150_000_000             # 0.15 * _PR_SCALE (teleport mass)
 _PR_ITERS = 5                      # fixed, unrolled — not run-to-convergence
-_SUPP_OFFSET = 1_000_000           # supplier node ids, disjoint from custkeys
+
+# Node-id encoding for the bipartite graph: customers are EVEN ids
+# (2·custkey), suppliers ODD (2·suppkey + 1).  The parity encoding is
+# scale-proof: disjointness holds for ANY key domain.  The previous
+# additive offset (suppkey + 1e6) silently assumed custkey < 1e6 —
+# the round-11 ×100 replication pushed custkeys past it and collided
+# the two node families, and a real 100 TB corpus with billions of
+# customers breaks the constant outright.
 
 
 def _pagerank_oracle() -> str:
@@ -49,7 +56,7 @@ def _pagerank_oracle() -> str:
     parts = [
         f"""
     WITH pairs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
+      SELECT DISTINCT 2 * o.o_custkey AS cust, 2 * l.l_suppkey + 1 AS supp
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     edges AS (
@@ -59,9 +66,9 @@ def _pagerank_oracle() -> str:
     ),
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     nodes AS (
-      SELECT c_custkey AS node FROM customer
+      SELECT 2 * c_custkey AS node FROM customer
       UNION ALL
-      SELECT s_suppkey + {_SUPP_OFFSET} AS node FROM supplier
+      SELECT 2 * s_suppkey + 1 AS node FROM supplier
     ),
     r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes)"""
     ]
@@ -97,8 +104,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
         )
         .distinct()
     )
@@ -120,10 +127,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = (
         load(spark, sf_dir, "customer")
-        .select(F.col("c_custkey").alias("node"))
+        .select((F.col("c_custkey") * 2).alias("node"))
         .unionByName(
             load(spark, sf_dir, "supplier").select(
-                (F.col("s_suppkey") + _SUPP_OFFSET).alias("node")
+                (F.col("s_suppkey") * 2 + 1).alias("node")
             )
         )
     )
@@ -297,7 +304,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BFS_ITERS = 4                     # fixed, unrolled — diameter cap, not conv.
-_BFS_SOURCE = 0                    # customer node 0 (custkeys are 0-based)
+_BFS_SOURCE = 0                    # customer node 0 == 2*custkey 0 under
+#                                    the parity encoding (custkeys 0-based)
 
 
 def _bfs_oracle() -> str:
@@ -308,7 +316,7 @@ def _bfs_oracle() -> str:
     parts = [
         f"""
     WITH pairs AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {_SUPP_OFFSET} AS supp
+      SELECT DISTINCT 2 * o.o_custkey AS cust, 2 * l.l_suppkey + 1 AS supp
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     edges AS (
@@ -370,8 +378,8 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
         )
         .distinct()
     )

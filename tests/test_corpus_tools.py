@@ -141,10 +141,11 @@ def test_bfs_distances_are_frontier_consistent(spark, sf_dir):
     rows = QUERIES["graph_bfs"](spark, sf_dir).collect()
     dist = {r["node"]: r["dist"] for r in rows}
     assert dist.get(0) == 0
-    # bipartite graph: customers sit at even hops, suppliers at odd
+    # bipartite graph: customers (even node ids under the parity
+    # encoding) sit at even hops, suppliers (odd ids) at odd
     for node, d in dist.items():
         assert 0 <= d <= 4
-        assert (d % 2 == 0) == (node < 1_000_000)
+        assert (d % 2 == 0) == (node % 2 == 0)
 
 
 def test_collocation_pmi_planted_collocation(spark, tmp_path):

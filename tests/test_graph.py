@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from task_mapreduce_spark.operators.graph import _PR_BASE, _SUPP_OFFSET
+from task_mapreduce_spark.operators.graph import _PR_BASE
 from task_mapreduce_spark.registry import QUERIES
 from task_mapreduce_spark.tables import load
 
@@ -36,8 +36,10 @@ def test_dangling_customers_get_exactly_teleport_mass(spark, sf_dir):
         r["o_custkey"]
         for r in load(spark, sf_dir, "orders").select("o_custkey").distinct().collect()
     }
+    # customers are the EVEN nodes under the parity encoding
     dangling = [
-        n for n in ranks if n < _SUPP_OFFSET and n not in custs_with_orders
+        n for n in ranks
+        if n % 2 == 0 and n // 2 not in custs_with_orders
     ]
     # sf0.001/sf0.01 fixtures happen to have every customer ordering;
     # sf0.1 has a dangling one — the exact-teleport-mass claim is
