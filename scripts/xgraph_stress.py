@@ -39,6 +39,15 @@ from pyspark.sql import functions as F  # noqa: E402
 from task_mapreduce_spark.session import get_spark  # noqa: E402
 from task_mapreduce_spark.registry import QUERIES  # noqa: E402
 
+# the graph keys checkpoint |E|-sized frames (the GraphX/Pregel edge
+# layout); at x100 that in-memory state is ~3-4 GB and the default
+# 8 GiB JVM intermittently starves execution memory DURING the
+# checkpoint itself.  On a cluster this state is distributed (or a
+# parquet checkpoint, as graph.py's docstring says); locally the
+# measurement targets plan scaling, not JVM sizing — so give the one
+# JVM a working set proportional to the x100 data it simulates.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
 REPS = int(os.environ.get("XG_REPS", "10"))
 BASE = os.environ.get("XG_BASE", "/root/testdata/sf0.1")
 XG = os.environ.get("XG_DIR", f"/tmp/xg{REPS}_fixture")
@@ -117,10 +126,26 @@ def mat(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def drop_persisted():
+    """Unpersist every cached/localCheckpointed RDD left by the run
+    that just finished.  The graph keys checkpoint |E|-sized frames;
+    at x100 in ONE 8 GiB JVM those blocks stay pinned until the driver
+    GC happens to collect the dead DataFrames, and by the second sweep
+    round the accumulated storage starves execution memory outright
+    (UNABLE_TO_ACQUIRE_MEMORY in the first x100 attempt).  A fresh
+    cluster job never sees this — it is a repeated-runs-in-one-JVM
+    harness artifact — but the measurement harness must clean up so
+    round 1's walls measure the operator, not the leftovers."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+
+
 mat(QUERIES["tpch_q1"](spark, BASE))  # warm-up, untimed
 for rnd in range(2):
     for key in KEYS:
         for tag, sf in (("base", BASE), (f"x{REPS}", XG)):
+            drop_persisted()
             t = time.time()
             mat(QUERIES[key](spark, sf))
             print(f"{key} {tag} r{rnd}: {time.time()-t:.2f}s", flush=True)

