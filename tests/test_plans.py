@@ -171,6 +171,14 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "dedup_eval_ari",       # two 1-row pair-count-aggregate crossJoins
         "dedup_index_persist",  # two 1-row store-audit-count crossJoins
         "retrieval_fuse_rrf",   # 1-row bm25 stats + 5 probe vectors
+        "sim_index_persist",    # reloaded √N centroid rows + two 1-row
+        #                         store-audit-count crossJoins (the
+        #                         sim_search_ivf shapes, store-side)
+        "pq_index_persist",     # 1-row stride params (encode arm) + two
+        #                         1-row store-audit-count crossJoins
+        "events_attribution_incremental",  # 1-row pivot-bounds crossJoin
+        "agg_quantile_merge",   # 1-row audit stats + 5-row quantile-read
+        #                         frame against the ≤|bins|-row histogram
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -598,6 +606,21 @@ _BROADCAST_HINT_BUDGET = {
                          " centroid/metadata class)"),
     # eval-set / benchmark sides: MBs by nature
     "decontaminate_ngrams": (1, "benchmark eval-set shingles"),
+    # round-11 persisted-state + mergeable-distribution keys
+    "sim_index_persist": (4, "reloaded √N-row centroid store (ranking +"
+                             " probe join) + two 1-row store-audit"
+                             " aggregates — all centroid/metadata class"),
+    "pq_index_persist": (5, "encode arm's 1-row stride params + broadcast"
+                            " ADC lookup table + |q|·k' shortlist +"
+                            " |q|-row query vectors + 1-row store audits"),
+    "events_attribution_incremental": (3, "ONE 1-row pivot-bounds"
+                                          " aggregate, embedded once per"
+                                          " consumer of the split (conv1,"
+                                          " carried state, batch 2)"),
+    "agg_quantile_merge": (3, "1-row reloaded-store audit aggregates + the"
+                              " 5-row quantile-read frame — the histogram"
+                              " side (≤|bins| rows, value-resolution-"
+                              "bounded) stays unhinted"),
 }
 
 
