@@ -544,3 +544,53 @@ def test_sim_index_persist_audit_counts(spark, sf_dir):
     # non-empty Lloyd cells: between 1 and nlist <= ~2*sqrt(N)
     (c,) = cells
     assert 1 <= c <= 2 * int(n ** 0.5) + 2
+
+
+# ---------------------------------------------------------------------------
+# sim_index_ingest
+# ---------------------------------------------------------------------------
+
+
+def test_sim_index_ingest_audit_partitions_the_corpus(spark, sf_dir):
+    from task_mapreduce_spark.tables import load as _load
+
+    rows = QUERIES["sim_index_ingest"](spark, sf_dir).collect()
+    assert rows
+    n = _load(spark, sf_dir, "embeddings").count()
+    idx = {r["index_vecs"] for r in rows}
+    ing = {r["ingested_vecs"] for r in rows}
+    assert len(idx) == 1 and len(ing) == 1
+    # store + appended batch partition the corpus exactly
+    assert idx.pop() + ing.pop() == n
+    # ranks contiguous per query
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["vec_id"] != r["query_id"]
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_sim_index_ingest_appended_vectors_are_searchable(spark, sf_dir):
+    # the append must be REAL: ingested vectors appear in the merged
+    # index's top-k (deterministic on the fixed fixtures — 2 hits at
+    # sf0.001, 4 at sf0.01 when this was pinned); a no-op union would
+    # still satisfy the audit counts on the store side alone
+    import pyspark.sql.functions as SF
+    from task_mapreduce_spark.operators.llm_extras import _INGEST_MOD
+    from task_mapreduce_spark.tables import load as _load
+
+    split_hash = SF.conv(
+        SF.substring(SF.md5(SF.col("vec_id").cast("string")), 13, 12), 16, 10
+    ).cast("long")
+    batch = {
+        r["vec_id"]
+        for r in _load(spark, sf_dir, "embeddings")
+        .filter(split_hash % _INGEST_MOD == 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert batch, "fixture has no batch slice"
+    rows = QUERIES["sim_index_ingest"](spark, sf_dir).collect()
+    hits = sum(1 for r in rows if r["vec_id"] in batch)
+    assert hits > 0, "no ingested vector ever surfaced — vacuous append"

@@ -174,6 +174,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "sim_index_persist",    # reloaded √N centroid rows + two 1-row
         #                         store-audit-count crossJoins (the
         #                         sim_search_ivf shapes, store-side)
+        "sim_index_ingest",     # reloaded √N centroid rows (frozen-assign
+        #                         + probe ranking) + 1-row audit crossJoins
         "pq_index_persist",     # 1-row stride params (encode arm) + two
         #                         1-row store-audit-count crossJoins
         "events_attribution_incremental",  # 1-row pivot-bounds crossJoin
@@ -610,6 +612,10 @@ _BROADCAST_HINT_BUDGET = {
     "sim_index_persist": (4, "reloaded √N-row centroid store (ranking +"
                              " probe join) + two 1-row store-audit"
                              " aggregates — all centroid/metadata class"),
+    "sim_index_ingest": (6, "reloaded √N-row centroid store consumed by"
+                            " BOTH the frozen batch assign and the probe"
+                            " ranking, + broadcast probes + two 1-row"
+                            " audit aggregates — centroid/metadata class"),
     "pq_index_persist": (5, "encode arm's 1-row stride params + broadcast"
                             " ADC lookup table + |q|·k' shortlist +"
                             " |q|-row query vectors + 1-row store audits"),
