@@ -1298,3 +1298,132 @@ def retrieval_fuse_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "fused_rank", F.row_number().over(wf).cast("bigint")
     ).filter(F.col("fused_rank") <= _RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval_rank — MRR / nDCG of the fused retrieval vs exact cosine
+# ---------------------------------------------------------------------------
+
+
+def _rank_eval_oracle() -> str:
+    """The eval's oracle embeds BOTH registered arms' oracles verbatim
+    as nested-WITH CTE bodies (the sim_eval_recall pattern lifted to
+    SQL composition): system-under-eval = retrieval_fuse_rrf, ground
+    truth = sim_search_topk — the eval and the arms can never drift."""
+    from task_mapreduce_spark.operators import llm_pipeline  # registers topk
+    from task_mapreduce_spark.registry import ORACLES
+
+    k = llm_pipeline._TOP_K
+    return f"""
+    WITH fused AS ({ORACLES["retrieval_fuse_rrf"]}),
+    exact AS ({ORACLES["sim_search_topk"]}),
+    rel AS (
+      SELECT query_id, vec_id AS doc_id,
+             CAST({k} + 1 - rank AS BIGINT) AS rel
+      FROM exact
+    ),
+    scored AS (
+      SELECT f.query_id, f.fused_rank, COALESCE(r.rel, 0) AS rel
+      FROM fused f LEFT JOIN rel r
+        ON r.query_id = f.query_id AND r.doc_id = f.doc_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST(round(rel / log2(1 + fused_rank), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS dcg,
+             CAST(COUNT(*) FILTER (WHERE rel > 0) AS BIGINT)
+               AS n_relevant_found,
+             MIN(fused_rank) FILTER (WHERE rel > 0) AS first_rel_rank
+      FROM scored GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             CAST(SUM(CAST(round(rel / log2(1 + rnk), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+      FROM (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC) AS rnk
+        FROM rel
+      ) GROUP BY query_id
+    )
+    SELECT d.query_id,
+           d.n_relevant_found,
+           round(COALESCE(CAST(1.0 AS DOUBLE) / d.first_rel_rank, 0), 9)
+             AS mrr,
+           round(d.dcg, 9) AS dcg_r,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN ideal i USING (query_id)
+    """
+
+
+@register("retrieval_eval_rank", oracle=_rank_eval_oracle())
+def retrieval_eval_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the fused retrieval — per-query
+    MRR and nDCG@k of retrieval_fuse_rrf's fused list against the
+    exact-cosine ground truth (sim_search_topk), graded rel = k+1 −
+    exact_rank.  Closes the eval gap for the retrieval family: recall
+    evals exist for every ANN arm (sim_eval_recall*), PRF/ARI for the
+    dedup family, but the RRF fusion — the key a retrieval user
+    actually serves — had no registered quality metric.
+
+    Both arms are embedded VERBATIM (the Spark side calls the
+    registered callables; the oracle nests the registered arm oracles
+    as CTE bodies), so the eval can never drift from what it grades —
+    the repo's eval-class discipline.
+
+    Float discipline: DCG terms rel/log2(1+rank) are transcendental →
+    each term rounds to 9 and sums through exact DECIMAL(18,9) (the
+    per-query fold is ≤k terms but hash-agg partial merges are still
+    order-free only under decimal); MRR is one double division rounded
+    9; nDCG divides two already-rounded doubles, rounded 6.  IDCG is
+    computed from each query's own relevant set (rank by rel DESC —
+    a total order: rel values are distinct by construction).
+
+    100 TB shape: inherits the arms' shapes verbatim; everything after
+    the arm lists touches |Q|·k rows — metadata at any corpus size."""
+    from task_mapreduce_spark.operators.llm_pipeline import (
+        _TOP_K,
+        sim_search_topk,
+    )
+
+    fused = retrieval_fuse_rrf(spark, sf_dir).select(
+        "query_id", "doc_id", "fused_rank"
+    )
+    rel = sim_search_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        (F.lit(_TOP_K) + 1 - F.col("rank")).cast("bigint").alias("rel"),
+    )
+    scored = (
+        fused.join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "fused_rank",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+        )
+    )
+    term = F.round(F.col("rel") / F.log2(1 + F.col("fused_rank")), 9)
+    dcg = scored.groupBy("query_id").agg(
+        F.sum(term.cast("decimal(18,9)")).cast("double").alias("dcg"),
+        F.count(F.when(F.col("rel") > 0, 1)).cast("bigint")
+        .alias("n_relevant_found"),
+        F.min(F.when(F.col("rel") > 0, F.col("fused_rank")))
+        .alias("first_rel_rank"),
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.desc("rel"))
+    iterm = F.round(F.col("rel") / F.log2(1 + F.col("rnk")), 9)
+    ideal = (
+        rel.withColumn("rnk", F.row_number().over(wi))
+        .groupBy("query_id")
+        .agg(F.sum(iterm.cast("decimal(18,9)")).cast("double").alias("idcg"))
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id",
+        "n_relevant_found",
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)), 9
+        ).alias("mrr"),
+        F.round("dcg", 9).alias("dcg_r"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

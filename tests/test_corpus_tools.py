@@ -427,3 +427,65 @@ def test_rrf_semantic_ranks_agree_with_sim_search_topk(spark, sf_dir):
             assert topk.get((r["query_id"], r["doc_id"])) == r["sem_rank"]
             checked += 1
     assert checked, "no fused row fell inside topk depth — fixture drift?"
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval_rank
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_rank_matches_pure_python_replay(spark, sf_dir):
+    # independent metric replay: collect both registered arms and
+    # recompute MRR / DCG / IDCG / nDCG in plain python with the same
+    # rounding discipline — no SQL shared with either engine
+    import math
+    from decimal import Decimal
+
+    K = 10
+    rel = {
+        (r["query_id"], r["vec_id"]): K + 1 - r["rank"]
+        for r in QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    }
+    fused: dict[int, list] = {}
+    for r in QUERIES["retrieval_fuse_rrf"](spark, sf_dir).collect():
+        fused.setdefault(r["query_id"], []).append(
+            (r["fused_rank"], rel.get((r["query_id"], r["doc_id"]), 0))
+        )
+    got = {
+        r["query_id"]: r
+        for r in QUERIES["retrieval_eval_rank"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(fused)
+    for q, pairs in fused.items():
+        dcg = float(
+            sum(
+                Decimal(str(round(rl / math.log2(1 + rk), 9)))
+                for rk, rl in pairs
+            )
+        )
+        rels = sorted(
+            (rl for (qq, _), rl in rel.items() if qq == q), reverse=True
+        )
+        idcg = float(
+            sum(
+                Decimal(str(round(rl / math.log2(1 + i), 9)))
+                for i, rl in enumerate(rels, start=1)
+            )
+        )
+        found = [rk for rk, rl in pairs if rl > 0]
+        r = got[q]
+        assert r["n_relevant_found"] == len(found)
+        assert r["mrr"] == round(1.0 / min(found), 9) if found else r["mrr"] == 0.0
+        assert abs(r["dcg_r"] - round(dcg, 9)) < 1e-9
+        assert abs(r["ndcg"] - round(dcg / idcg, 6)) < 1e-6
+        assert 0.0 <= r["ndcg"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+
+
+def test_retrieval_eval_rank_non_vacuous(spark, sf_dir):
+    rows = QUERIES["retrieval_eval_rank"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one row per standing probe query
+    # the semantic arm IS the exact construction at depth 20, so the
+    # fused list must overlap the truth somewhere, or the eval graded
+    # nothing
+    assert any(r["n_relevant_found"] > 0 for r in rows)

@@ -171,6 +171,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "dedup_eval_ari",       # two 1-row pair-count-aggregate crossJoins
         "dedup_index_persist",  # two 1-row store-audit-count crossJoins
         "retrieval_fuse_rrf",   # 1-row bm25 stats + 5 probe vectors
+        "retrieval_eval_rank",  # embeds retrieval_fuse_rrf + the topk
+        #                         probe broadcast, both verbatim
         "sim_index_persist",    # reloaded √N centroid rows + two 1-row
         #                         store-audit-count crossJoins (the
         #                         sim_search_ivf shapes, store-side)
@@ -612,6 +614,11 @@ _BROADCAST_HINT_BUDGET = {
     "sim_index_persist": (4, "reloaded √N-row centroid store (ranking +"
                              " probe join) + two 1-row store-audit"
                              " aggregates — all centroid/metadata class"),
+    "retrieval_eval_rank": (8, "embeds retrieval_fuse_rrf's 6 (bm25 stats"
+                               " + probe vectors, twice-consumed subtrees)"
+                               " + sim_search_topk's probe broadcast;"
+                               " everything after the arm lists is |Q|·k"
+                               " rows"),
     "sim_index_ingest": (6, "reloaded √N-row centroid store consumed by"
                             " BOTH the frozen batch assign and the probe"
                             " ranking, + broadcast probes + two 1-row"
