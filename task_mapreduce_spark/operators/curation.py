@@ -1922,3 +1922,131 @@ def dedup_eval_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num / den, 6))
         .alias("ari"),
     )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_report — near-duplicate pairs CROSSING the train/test split
+# ---------------------------------------------------------------------------
+
+
+_SPLIT_SQL = """spl AS (
+      SELECT doc_id,
+             CASE WHEN h < 8 THEN 'train'
+                  WHEN h = 8 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 10 AS h
+        FROM documents
+      )
+    )"""
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH {_lsh_cand_ctes()},
+    ver AS (
+      SELECT c.a, c.b FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b
+      WHERE {_LSH_VERIFY_WHERE}
+    ),
+    {_SPLIT_SQL},
+    crossed AS (
+      SELECT least(pa.split, pb.split) AS split_a,
+             greatest(pa.split, pb.split) AS split_b,
+             CASE WHEN pa.split <= pb.split THEN v.a ELSE v.b END AS doc_a,
+             CASE WHEN pa.split <= pb.split THEN v.b ELSE v.a END AS doc_b
+      FROM ver v
+      JOIN spl pa ON pa.doc_id = v.a
+      JOIN spl pb ON pb.doc_id = v.b
+      WHERE pa.split <> pb.split
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+           CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+    FROM crossed GROUP BY split_a, split_b
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split NEAR-DUPLICATE leakage audit — the check every
+    training pipeline runs before trusting its held-out numbers: a
+    validation/test document with a J ≥ 0.5 near-duplicate in train is
+    contaminated (its loss is memorization, not generalization), and
+    hash-based splitting (split_train_test) prevents RE-assignment
+    drift but cannot prevent two DIFFERENT near-dup documents from
+    landing in different splits.  Dodge et al. 2021's C4 audit is the
+    public precedent (they found benchmark data inside train splits);
+    decontaminate_ngrams covers the corpus-vs-benchmark direction —
+    this key covers the within-corpus split-crossing direction.
+
+    Composition, both embedded verbatim: the near-dup pair set is the
+    portable-LSH candidate pipeline + exact integer-Jaccard verify
+    (dedup_eval_prf's machinery — the oracle replays candidate
+    generation itself, not a certificate), and the split is
+    split_train_test's md5 %10 rule.  Pairs are normalized to
+    (lexicographically smaller split first), so (split_a, split_b)
+    rows are unique and doc_a always lives in split_a.  n_docs_a/b
+    count DISTINCT contaminated docs per side — the actionable number
+    (how many eval docs to drop or re-assign).
+
+    100 TB shape: inherits the LSH pipeline's shape wholesale (banded
+    equi-joins, capped buckets, never all-pairs); the split decoration
+    is two scan-side hash projections; the report aggregate runs on
+    the verified-pair table, which dedup keeps metadata-sized by
+    mandate.  The three Spark-side aggregates are SPLIT (count, then
+    per-side distinct counts, joined on the ≤3-row key) so no Expand
+    multiplies the pair stream (CLAUDE.md wide-aggregate rule)."""
+    from task_mapreduce_spark.operators.llm_pipeline import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d).localCheckpoint()
+    cand = _portable_lsh_cand(sh)
+    sa, sb, inter, uni = _shingle_join_sides(sh)
+    ver = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.lit(2) * inter >= uni)
+        .select("a", "b")
+    )
+
+    def split_of(col):
+        h = (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            % 10
+        )
+        return (
+            F.when(h < 8, "train").when(h == 8, "valid").otherwise("test")
+        )
+
+    pa, pb = split_of(F.col("a")), split_of(F.col("b"))
+    crossed = (
+        ver.filter(pa != pb)
+        .select(
+            F.least(pa, pb).alias("split_a"),
+            F.greatest(pa, pb).alias("split_b"),
+            F.when(pa <= pb, F.col("a")).otherwise(F.col("b")).alias("doc_a"),
+            F.when(pa <= pb, F.col("b")).otherwise(F.col("a")).alias("doc_b"),
+        )
+        .localCheckpoint()  # metadata-sized verified-pair table, 3 consumers
+    )
+    n_pairs = crossed.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs_a = (
+        crossed.select("split_a", "split_b", "doc_a").distinct()
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_a"))
+    )
+    docs_b = (
+        crossed.select("split_a", "split_b", "doc_b").distinct()
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_b"))
+    )
+    return n_pairs.join(docs_a, ["split_a", "split_b"]).join(
+        docs_b, ["split_a", "split_b"]
+    )

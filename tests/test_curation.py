@@ -764,3 +764,69 @@ def test_ari_identical_clusterings_score_one(spark, tmp_path):
     exp = float(pa) * pa / comb2(n)
     den = float(pa + pa) / 2 - exp
     assert round((pb - exp) / den, 6) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_report
+# ---------------------------------------------------------------------------
+
+
+def _split_of_py(doc_id: int) -> str:
+    import hashlib
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 10
+    return "train" if h < 8 else ("valid" if h == 8 else "test")
+
+
+def test_split_leakage_report_shape_and_bounds(spark, sf_dir):
+    rows = QUERIES["split_leakage_report"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["split_a"] < r["split_b"]  # normalized, so unique
+        assert (r["split_a"], r["split_b"]) not in seen
+        seen.add((r["split_a"], r["split_b"]))
+        assert {r["split_a"], r["split_b"]} <= {"train", "valid", "test"}
+        # distinct docs per side can never exceed the pair count
+        assert 1 <= r["n_docs_a"] <= r["n_pairs"]
+        assert 1 <= r["n_docs_b"] <= r["n_pairs"]
+
+
+def test_split_leakage_finds_planted_cross_split_dup(spark, tmp_path):
+    # two identical docs whose ids hash to DIFFERENT splits must be
+    # reported; two identical docs in the SAME split must not be
+    ids = list(range(200))
+    train = [i for i in ids if _split_of_py(i) == "train"]
+    test = [i for i in ids if _split_of_py(i) == "test"]
+    assert train and test, "hash rule drifted?"
+    leak_a, leak_b = train[0], test[0]
+    same_a, same_b = train[1], train[2]
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = [
+        (i, f"tok{i}a tok{i}b tok{i}c tok{i}d", "en", "s", 10)
+        for i in train[3:8]
+    ]
+    rows = [
+        (leak_a, body, "en", "s", len(body)),
+        (leak_b, body, "en", "s", len(body)),
+        (same_a, body + " iota", "en", "s", len(body)),
+        (same_b, body + " iota", "en", "s", len(body)),
+    ] + filler
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        (r["split_a"], r["split_b"]): r
+        for r in QUERIES["split_leakage_report"](spark, str(tmp_path)).collect()
+    }
+    # the planted cross-split pair is reported under (test, train)
+    assert ("test", "train") in out
+    r = out[("test", "train")]
+    assert r["n_pairs"] >= 1 and r["n_docs_a"] >= 1 and r["n_docs_b"] >= 1
+    # the same-split dup contributes to NO cross-split row: every
+    # reported row involves two different splits by construction, and
+    # no (train, train) key can exist
+    assert all(a != b for (a, b) in out)
