@@ -2588,27 +2588,43 @@ def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the store is the standard IVF serving layout —
     centroids ≈ √N rows (broadcastable at 1 B vectors), postings N
-    rows keyed by cell (a production store partitions the postings BY
-    cell so a probe's broadcast equi-join prunes unprobed cells via
-    dynamic partition pruning; at fixture scale the plain multi-file
-    layout exercises the same join shape).  Per-query serving cost is
-    nprobe × E[cell] score rows against a reloaded, never-rebuilt
-    index; index build amortizes across every query after the first."""
+    rows PARTITIONED BY CELL, and the probe's broadcast equi-join
+    prunes unprobed cells via DYNAMIC PARTITION PRUNING — executed,
+    not narrated: the reloaded scan's PartitionFilters carry a
+    dynamicpruning subquery on the probe side (plan-asserted), so a
+    probe reads nprobe × |queries| cells' files, never the store.
+    Per-query serving cost is nprobe × E[cell] score rows against a
+    reloaded, never-rebuilt index; index build amortizes across every
+    query after the first."""
     from task_mapreduce_spark.operators.relational import _work_dir
 
     emb = load(spark, sf_dir, "embeddings")
     e = _normed_vectors(emb)
     assigned, cents = _ivf_cells(e)
 
-    # ---- index build: persist centroids + cell postings ----
+    # ---- index build: persist centroids + cell postings.  The
+    # postings are PARTITIONED BY CELL — the production IVF layout —
+    # keyed-repartitioned first so each cell lands in one file.  This
+    # is not cosmetic: the broadcast-probes equi-join below then
+    # prunes unprobed cells via DYNAMIC PARTITION PRUNING (the scan's
+    # PartitionFilters carry a dynamicpruning subquery on the probe
+    # side — plan-asserted in tests/test_plans.py), so a serving probe
+    # reads nprobe×|queries| cells' files, never the whole store. ----
     base = _work_dir("sim_index")
     cents.write.mode("overwrite").parquet(f"{base}/centroids")
-    assigned.write.mode("overwrite").parquet(f"{base}/postings")
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{base}/postings")
 
     # ---- reload: everything below touches ONLY the reloaded store
-    # (plus the fresh query vectors, which arrive raw in serving) ----
+    # (plus the fresh query vectors, which arrive raw in serving).
+    # The hive partition column comes back type-inferred (int on this
+    # build; string with inference off) — cast it back to the long the
+    # decisions were made with. ----
     cents_store = spark.read.parquet(f"{base}/centroids")
-    post_store = spark.read.parquet(f"{base}/postings")
+    post_store = spark.read.parquet(f"{base}/postings").select(
+        "vec_id", "v", "nrm", F.col("cell").cast("long").alias("cell")
+    )
 
     d = F.round(_dot(F.col("qv"), F.col("cv")), 6)
     pr = (

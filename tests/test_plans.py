@@ -768,3 +768,15 @@ def test_two_level_assign_engages_on_knob_path(spark, sf_dir):
         e, lloyd_steps=0, target_cell=8)[1].collect()}
     cells = {r["cell"] for r in hier.select("cell").distinct().collect()}
     assert cells <= cents_ids
+
+
+def test_sim_index_persist_store_is_partition_pruned(spark, sf_dir):
+    # the persisted postings are partitioned by cell and the probe
+    # join must prune unprobed cells via dynamic partition pruning —
+    # the serving claim the docstring makes, plan-asserted so a layout
+    # refactor can't silently regress to full-store scans
+    plan = plan_of(spark, sf_dir, "sim_index_persist", mode="formatted")
+    assert "dynamicpruning" in plan.lower(), (
+        "reloaded postings scan lost its dynamic-pruning subquery — "
+        "every probe now reads the whole store"
+    )
