@@ -2618,13 +2618,17 @@ def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- reload: everything below touches ONLY the reloaded store
     # (plus the fresh query vectors, which arrive raw in serving).
-    # The hive partition column comes back type-inferred (int on this
-    # build; string with inference off) — cast it back to the long the
-    # decisions were made with. ----
+    # The read supplies the store schema EXPLICITLY, for two reasons:
+    # (1) it pins the hive partition column to the long the decisions
+    # were made with (inference would narrow it to int, or string with
+    # inference disabled); (2) an EMPTY corpus writes a partitioned dir
+    # with no parquet footers at all, where schema inference throws —
+    # a serving tier always knows its index schema. ----
+    post_schema = "vec_id long, v array<double>, nrm double, cell long"
     cents_store = spark.read.parquet(f"{base}/centroids")
-    post_store = spark.read.parquet(f"{base}/postings").select(
-        "vec_id", "v", "nrm", F.col("cell").cast("long").alias("cell")
-    )
+    post_store = spark.read.schema(post_schema).parquet(
+        f"{base}/postings"
+    ).select("vec_id", "v", "nrm", "cell")
 
     d = F.round(_dot(F.col("qv"), F.col("cv")), 6)
     pr = (
