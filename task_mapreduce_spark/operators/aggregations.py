@@ -539,7 +539,7 @@ _QM_PCTS = (25, 50, 75, 90, 99)
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
              CAST(floor(value) AS BIGINT) AS bin,
              COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     h AS (SELECT bin, SUM(cnt) AS cnt FROM p GROUP BY bin),
     c AS (
@@ -606,8 +606,13 @@ def agg_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from task_mapreduce_spark.operators.relational import _work_dir
 
     e = load(spark, sf_dir, "events")
+    # NULL values would land in a NULL bin, and Spark's window sorts
+    # NULLS FIRST while DuckDB's sorts NULLS LAST — every cumulative
+    # count after the NULL bin would diverge.  Drop them identically
+    # on both sides (the oracle has WHERE value IS NOT NULL).
     partials = (
-        e.groupBy(
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
             F.floor("value").cast("long").alias("bin"),
         )

@@ -2028,6 +2028,238 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sim_search_ivf_hier — the constant-cell two-level configuration,
+# registered and oracle-checked (round-11 verdict #1)
+# ---------------------------------------------------------------------------
+
+_IVF_HIER_CELL = 64  # constant stride: E[cell] ≈ 64 for ANY corpus size
+
+
+def _ivf_hier_ctes(
+    steps: int = _IVF_LLOYD_STEPS, target_cell: int = _IVF_HIER_CELL
+) -> str:
+    """DuckDB twin of :func:`_ivf_cells` ON THE KNOB PATH — the
+    two-level coarse-quantizer assign replayed verbatim in SQL, so the
+    configuration a 100 TB deployment actually runs (constant-stride
+    seeds + hierarchical assign, the only linear regime measured at
+    ×100 — PERF.md round 10) is value-checked by the oracle sweep, not
+    just property/plan tests.  Per assign round r over centroid table
+    cents{r} (cents0 = the constant-stride seeds):
+
+    - ``g{r}``    — ceil(√nlist), the super-group width;
+    - ``sup{r}``  — every g-th centroid in portable-hash rank order
+      (Spark: ``row_number() % g == 1`` over (md5-hash asc, cid asc));
+    - ``csup{r}`` — centroid → nearest super (rounded dot DESC, sid);
+    - ``vsup{r}`` — vector → nearest super (same ordering rule);
+    - ``cells{r}``— vector → argmax centroid WITHIN its super's group
+      only (the classic coarse-quantizer approximation, Jégou et al.
+      2011: a vector whose true nearest centroid hangs under another
+      super lands one cell over — the deliberate trade the knob makes
+      for N×2√nlist assign work instead of N×nlist).
+
+    Between rounds the Lloyd mean is the shared exact-decimal /
+    round(·, 9) discipline of ``_ivf_cells_ctes``.  Every ranking
+    orders by (round(dot, 6) DESC, id ASC) — identical tie-breaks to
+    the Spark ``max_by(struct(d, -id))`` argmaxes."""
+    s = int(max(1, target_cell))
+    ctes = [
+        """e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )""",
+        f"""cents0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+              % {s} = 0
+    )""",
+    ]
+    for r in range(steps + 1):
+        ctes.append(
+            f"""g{r} AS (
+      SELECT CAST(ceil(sqrt(greatest(1, count(*)))) AS BIGINT) AS g
+      FROM cents{r}
+    )"""
+        )
+        ctes.append(
+            f"""sup{r} AS (
+      SELECT cid AS sid, cv AS sv FROM (
+        SELECT cid, cv, row_number() OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))
+                            ::BIGINT ASC, cid ASC) AS rk
+        FROM cents{r}), g{r}
+      WHERE rk % g = 1
+    )"""
+        )
+        ctes.append(
+            f"""csup{r} AS (
+      SELECT cid, cv, sid FROM (
+        SELECT c.cid, c.cv, s.sid,
+               row_number() OVER (PARTITION BY c.cid
+                 ORDER BY round(list_dot_product(c.cv, s.sv), 6) DESC,
+                          s.sid) AS rn
+        FROM cents{r} c CROSS JOIN sup{r} s)
+      WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""vsup{r} AS (
+      SELECT vec_id, sid FROM (
+        SELECT e.vec_id, s.sid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, s.sv), 6) DESC,
+                          s.sid) AS rn
+        FROM e CROSS JOIN sup{r} s)
+      WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""cells{r} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC,
+                          c.cid) AS rn
+        FROM e JOIN vsup{r} vs USING (vec_id) JOIN csup{r} c USING (sid))
+      WHERE rn = 1
+    )"""
+        )
+        if r < steps:
+            ctes.append(
+                f"""elems{r + 1} AS (
+      SELECT c0.cell, unnest(e.v) AS val, unnest(range(len(e.v))) AS idx
+      FROM cells{r} c0 JOIN e USING (vec_id)
+    )"""
+            )
+            ctes.append(
+                f"""means{r + 1} AS (
+      SELECT cell, idx,
+             round(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+      FROM elems{r + 1} GROUP BY cell, idx
+    )"""
+            )
+            ctes.append(
+                f"""cents{r + 1} AS (
+      SELECT cell AS cid, list(m ORDER BY idx) AS cv
+      FROM means{r + 1} GROUP BY cell
+    )"""
+            )
+    ctes.append(f"cents AS (SELECT * FROM cents{steps})")
+    ctes.append(f"cells AS (SELECT * FROM cells{steps})")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "sim_search_ivf_hier",
+    oracle=f"""
+    WITH {_ivf_hier_ctes()},
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC,
+                          c.cid) AS rn
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id < {_ANN_N_QUERIES})
+      WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round(list_cosine_similarity(eq.v, ev.v), 6) AS score
+      FROM probes p
+      JOIN cells c USING (cell)
+      JOIN e eq ON eq.vec_id = p.query_id
+      JOIN e ev ON ev.vec_id = c.vec_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_ANN_TOP_K}
+    """,
+)
+def sim_search_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in the CONSTANT-CELL, TWO-LEVEL-ASSIGN configuration —
+    the regime a 100 TB deployment actually runs, now a registered,
+    oracle-checked key (round-11 verdict #1: until this round the knob
+    path was certified only by property/plan tests, never by the
+    DuckDB value sweep).
+
+    Differences from ``sim_search_ivf``'s registered √N default, both
+    measured in the round-10 ×100 A/B (PERF.md):
+
+    - **seeds**: constant stride ``_IVF_HIER_CELL`` (hash % 64 == 0)
+      instead of the corpus-derived √N stride — nlist ∝ N, E[cell]
+      ≈ 64 FLAT as the corpus grows, so within-cell pair families stay
+      linear in N (the √N regime's cells grow as √N and pair work as
+      N^1.5);
+    - **assign**: the two-level coarse quantizer (vector → nearest of
+      ~√nlist supers → argmax within that super's centroid group),
+      N×2√nlist dots instead of the flat arm's N×nlist, which at
+      nlist ∝ N is N²/s — measured ×6.6 worse at ×100 (412.7 s flat
+      vs 62.3 s two-level vs 21.3 s for this configuration end to
+      end).  The assign is approximate BY CONSTRUCTION (a vector whose
+      true nearest centroid lives under a different super lands one
+      cell over) — and the oracle replays that exact approximation,
+      super selection, grouping, and both argmax stages included, so
+      the certified result IS the approximate assignment, not a
+      vacuous subset bit.
+
+    Probe/score arms are byte-identical to the flat key (probe ranking
+    is |queries| × nlist through the broadcast centroid table — probe
+    cost is √N-shaped in either regime, PERF.md).  Recall@10 at
+    sf0.01 measures 0.86 vs the √N default's 0.58 (nprobe 5 of ~N/64
+    cells covers a larger corpus fraction at small N; the recall
+    pytest pins the floor).  100 TB shape: build is linear (N×2√nlist
+    assign + N-row shuffles), serving probes nprobe × E[cell] ≈ 320
+    score rows per query, and the centroid table at 1 B vectors is
+    ~16 M rows — past single-broadcast comfort, which is exactly when
+    the two-level table (√nlist supers broadcast, centroid groups
+    equi-joined) is the standard serving layout anyway."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = _normed_vectors(emb)
+    assigned, cents = _ivf_cells(e, target_cell=_IVF_HIER_CELL)
+    d = F.round(_dot(F.col("v"), F.col("cv")), 6)
+    pr = (
+        e.filter(F.col("vec_id") < _ANN_N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            d.alias("d"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
+    probes = (
+        pr.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            "query_id",
+            "qv",
+            F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"),
+            "cell",
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _ANN_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # hard-negative mining for retrieval/embedding training
 # ---------------------------------------------------------------------------
 
@@ -2625,7 +2857,9 @@ def sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with no parquet footers at all, where schema inference throws —
     # a serving tier always knows its index schema. ----
     post_schema = "vec_id long, v array<double>, nrm double, cell long"
-    cents_store = spark.read.parquet(f"{base}/centroids")
+    cents_store = spark.read.schema(cents.schema).parquet(
+        f"{base}/centroids"
+    )
     post_store = spark.read.schema(post_schema).parquet(
         f"{base}/postings"
     ).select("vec_id", "v", "nrm", "cell")
@@ -2805,9 +3039,17 @@ def sim_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents.write.mode("overwrite").parquet(f"{base}/centroids")
     assigned.write.mode("overwrite").parquet(f"{base}/postings")
 
-    # ---- reload; assign the arriving batch to the FROZEN centroids
-    cents_store = spark.read.parquet(f"{base}/centroids")
-    post_store = spark.read.parquet(f"{base}/postings")
+    # ---- reload; assign the arriving batch to the FROZEN centroids.
+    # Reads pin the store schema explicitly (sim_index_persist's
+    # convention): inference throws on a footerless empty store and a
+    # serving tier always knows its index schema — pinning to the
+    # written frame's schema makes the round trip drift-proof.
+    cents_store = spark.read.schema(cents.schema).parquet(
+        f"{base}/centroids"
+    )
+    post_store = spark.read.schema(assigned.schema).parquet(
+        f"{base}/postings"
+    )
 
     # round-robin + eager checkpoint of the batch frame (the
     # serialize-killer defense: the scan is 1 task and the ×nlist pair

@@ -795,15 +795,19 @@ def pq_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ---- index build: persist the code table + codebook ----
     base = _work_dir("pq_index")
-    codes.select("vec_id", "sub", "code").write.mode("overwrite").parquet(
-        f"{base}/codes"
-    )
+    codes_slim = codes.select("vec_id", "sub", "code")
+    codes_slim.write.mode("overwrite").parquet(f"{base}/codes")
     cs.write.mode("overwrite").parquet(f"{base}/codebook")
 
     # ---- reload: ADC below touches ONLY the reloaded store (queries
-    # and rerank vectors arrive fresh, as in serving) ----
-    codes_store = spark.read.parquet(f"{base}/codes")
-    cs_store = spark.read.parquet(f"{base}/codebook")
+    # and rerank vectors arrive fresh, as in serving).  Reads pin the
+    # store schema explicitly (sim_index_persist's convention): a
+    # footerless empty store breaks inference, and a serving tier
+    # always knows its index schema. ----
+    codes_store = spark.read.schema(codes_slim.schema).parquet(
+        f"{base}/codes"
+    )
+    cs_store = spark.read.schema(cs.schema).parquet(f"{base}/codebook")
 
     q = ev.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "sub", "sv"

@@ -441,7 +441,10 @@ def test_retrieval_eval_rank_matches_pure_python_replay(spark, sf_dir):
     import math
     from decimal import Decimal
 
-    K = 10
+    # the operator and oracle derive rel from llm_pipeline._TOP_K —
+    # import it so a depth change can't silently grade against stale
+    # relevance (round-11 ADVICE)
+    from task_mapreduce_spark.operators.llm_pipeline import _TOP_K as K
     rel = {
         (r["query_id"], r["vec_id"]): K + 1 - r["rank"]
         for r in QUERIES["sim_search_topk"](spark, sf_dir).collect()

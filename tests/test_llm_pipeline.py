@@ -295,6 +295,31 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_hier_recall_vs_exact(spark, sf_dir):
+    # the registered constant-cell two-level configuration (round-11
+    # verdict #1 + #4): measured recall@10 = 0.86 at BOTH sf0.001 and
+    # sf0.01 (nprobe 5 of ~N/64 cells covers a larger corpus fraction
+    # than the √N default's 0.58 at small N).  The 0.7 floor is the
+    # verdict's serving bar, pinned without over-fitting the fixture.
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    }
+    hier = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["sim_search_ivf_hier"](spark, sf_dir).collect()
+    }
+    assert hier, "hier IVF returned nothing"
+    recall = len(exact & hier) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f}"
+    by_q = {}
+    for r in QUERIES["sim_search_ivf_hier"](spark, sf_dir).collect():
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_containment_finds_planted_subset_doc(spark, tmp_path):
     long_doc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
                 "lam mu nu xi omicron pi rho sigma tau upsilon")

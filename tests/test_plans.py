@@ -151,6 +151,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "histogram_equidepth",  # 1-row percentile-bounds crossJoin
         "profile_columns",      # 1-row NDV-aggregate crossJoin
         "sim_search_ivf",       # √N centroid ROWS broadcast (≈16 MB at 1 B vecs)
+        "sim_search_ivf_hier",  # super/centroid tables broadcast (√nlist and
+        #                         nlist rows — metadata in the knob regime)
         "sim_search_ann",       # 1-row active-plane-count (np) crossJoin
         "dedup_semantic",       # shares sim_search_ivf's centroid broadcast
         "mine_hard_negatives",  # shares sim_search_ivf's centroid broadcast
@@ -594,6 +596,10 @@ _BROADCAST_HINT_BUDGET = {
     "sim_search_topk": (1, "5 probe vectors"),
     "sim_search_ann": (3, "1-row plane params + probe buckets"),
     "sim_search_ivf": (9, "√N centroid rows, re-broadcast per Lloyd step + 1-row params + probe cells"),
+    # two-level assign: supers subtree embedded twice (cent_sup + v_sup
+    # consumers) + cent_sup + probe-ranking cents + probe cells; earlier
+    # assign rounds are checkpoint-truncated out of the analyzed tree
+    "sim_search_ivf_hier": (5, "√nlist supers ×2 + nlist cent-groups + cents + probes"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
@@ -768,6 +774,16 @@ def test_two_level_assign_engages_on_knob_path(spark, sf_dir):
         e, lloyd_steps=0, target_cell=8)[1].collect()}
     cells = {r["cell"] for r in hier.select("cell").distinct().collect()}
     assert cells <= cents_ids
+
+    # and the REGISTERED knob-configuration key (round-11 verdict #1)
+    # takes the two-level arm: its final assign round is live in the
+    # analyzed tree (earlier rounds are checkpoint-truncated) and must
+    # carry the 3-argmax signature (centroid→super, vector→super,
+    # within-group) where the flat arm has exactly one
+    assert n_maxby(QUERIES["sim_search_ivf_hier"](spark, sf_dir)) >= 3, (
+        "sim_search_ivf_hier lost the two-level assign — the x100 "
+        "flat-assign cliff (412.7 s) is back on the registered key"
+    )
 
 
 def test_sim_index_persist_store_is_partition_pruned(spark, sf_dir):
