@@ -495,3 +495,270 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_merge_upsert — engine-portable MERGE into a partitioned parquet
+# table: copy-on-write at partition granularity, manifest-versioned
+# snapshots, reload-and-serve (round-11 verdict #2)
+# ---------------------------------------------------------------------------
+
+_MERGE_CUTOFF = "2001-01-01"   # the change batch: late-window orders
+_MERGE_SCHEMA = "k long, val double, p string"
+_MANIFEST_SCHEMA = "p string, ver int"
+
+
+def _merge_read_snapshot(spark, store: str, man: DataFrame, vers) -> DataFrame:
+    """Read a manifest-defined snapshot: for each data VERSION the
+    manifest references, scan that version's partitioned dir pruned to
+    the partitions the manifest assigns to it.  The prune is the
+    manifest equi-join itself — dynamic partition pruning on the scan
+    (the sim_index_persist mechanism, plan-asserted), so a snapshot
+    read touches exactly the files the manifest names, never a
+    superseded partition's stale copy.  ``vers`` is the STATIC version
+    list each call site knows by construction (v2 snapshot = {1, 2}) —
+    no driver-side manifest collect."""
+    parts = []
+    for v in vers:
+        data = spark.read.schema(_MERGE_SCHEMA).parquet(f"{store}/data/v{v}")
+        sel = man.filter(F.col("ver") == int(v)).select("p")
+        parts.append(data.join(F.broadcast(sel), "p").select("k", "val", "p"))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _merge_apply(
+    spark, store: str, man_src: DataFrame, src_vers, batch: DataFrame,
+    dst_ver: int,
+) -> None:
+    """One copy-on-write MERGE commit: apply ``batch`` (k, p, op, bval)
+    to the snapshot ``man_src`` describes and write data version
+    ``dst_ver`` plus its manifest.
+
+    Semantics are last-write-wins UPSERT + tombstone DELETE — 'U'/'I'
+    set val to the batch's OWN bval (never a function of the target,
+    which is what makes a retried commit idempotent: re-applying the
+    same batch sets the same values and re-deletes absent rows —
+    pytest-pinned), 'D' drops the key whether present or not.  The op
+    labels record batch intent for the audit; apply treats U and I
+    identically, the MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT pair.
+
+    Copy-on-write at PARTITION granularity: only partitions the batch
+    touches (affected = batch's own distinct p — metadata-sized by
+    construction, bounded by the calendar) are re-merged and rewritten
+    under ``data/v{dst}``; every other partition is carried by
+    REFERENCE — the new manifest maps it to the version that already
+    holds it.  The full-outer merge join therefore scans only affected
+    partitions (the manifest join DPP-prunes the rest), so commit cost
+    is |touched partitions| + |batch|, never |table| — the lakehouse
+    CoW idiom (Delta/Iceberg) expressed as plain parquet + a manifest,
+    with readers always consistent: they resolve a manifest version,
+    and data files under it are immutable."""
+    snap = _merge_read_snapshot(spark, store, man_src, src_vers)
+    affected = batch.select("p").distinct()
+    tgt = snap.join(F.broadcast(affected), "p")
+    b = batch.select("k", F.col("p").alias("bp"), "op", "bval")
+    merged = (
+        tgt.join(b, "k", "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "k",
+            F.when(F.col("op").isin("U", "I"), F.col("bval"))
+            .otherwise(F.col("val"))
+            .alias("val"),
+            F.coalesce("p", "bp").alias("p"),
+        )
+    )
+    merged.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+        f"{store}/data/v{dst_ver}"
+    )
+    man_dst = man_src.join(affected, "p", "left_anti").unionByName(
+        affected.withColumn("ver", F.lit(int(dst_ver)).cast("int"))
+    )
+    man_dst.write.mode("overwrite").parquet(f"{store}/manifest/v{dst_ver}")
+
+
+def _merge_base_batch(spark, sf_dir: str):
+    """The deterministic (base table, change batch) pair the key and
+    its pytest share.  Membership and op come from INDEPENDENT md5
+    bits (CLAUDE.md: chars 1-12 decide base membership, chars 13-24
+    the update/delete coin — composing two rules from the same bits
+    silently empties a slice): base = 90% of orders by hash; the batch
+    is the TIME-LOCALIZED tail (orders from {cutoff} on — the CDC
+    shape: late corrections + new arrivals), inserts being exactly the
+    hash slice the base excluded, so I/U/D are disjoint and total."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("p"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderdate").alias("od"),
+    )
+    h1 = F.conv(
+        F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.col("k").cast("string")), 13, 12), 16, 10
+    ).cast("long")
+    o = o.withColumn("h1", h1).withColumn("h2", h2)
+    base = o.filter(F.col("h1") % 10 != 0).select("k", "val", "p")
+    batch = o.filter(
+        F.col("od") >= F.lit(_MERGE_CUTOFF).cast("timestamp")
+    ).select(
+        "k",
+        "p",
+        F.when(F.col("h1") % 10 == 0, F.lit("I"))
+        .when(F.col("h2") % 2 == 0, F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("op"),
+        F.when(F.col("h1") % 10 == 0, F.col("val"))
+        .when(F.col("h2") % 2 == 0, F.col("val") + F.lit(1.0))
+        .alias("bval"),
+    )
+    return base, batch
+
+
+@register(
+    "sink_merge_upsert",
+    # the oracle is the from-scratch SQL MERGE: one full-outer join over
+    # the WHOLE base (no partition bookkeeping), so the Spark side's
+    # CoW route — rewrite affected partitions, carry the rest by
+    # manifest reference, reload both — must reproduce it exactly
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             strftime(o_orderdate, '%Y-%m') AS p,
+             o_totalprice AS val,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
+             o_orderdate AS od
+      FROM orders
+    ),
+    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
+    batch AS (
+      SELECT k, p,
+             CASE WHEN h1 % 10 = 0 THEN 'I'
+                  WHEN h2 % 2 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN h1 % 10 = 0 THEN val
+                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
+    ),
+    merged AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM base t FULL OUTER JOIN batch b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    rollup AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {sql_dsum("val")} AS sum_val,
+             CAST(MIN(k) AS BIGINT) AS min_k,
+             CAST(MAX(k) AS BIGINT) AS max_k
+      FROM merged GROUP BY p
+    ),
+    audit AS (
+      SELECT CAST(COUNT(CASE WHEN op = 'I' THEN 1 END) AS BIGINT) AS n_ins,
+             CAST(COUNT(CASE WHEN op = 'U' THEN 1 END) AS BIGINT) AS n_upd,
+             CAST(COUNT(CASE WHEN op = 'D' THEN 1 END) AS BIGINT) AS n_del,
+             CAST(COUNT(DISTINCT p) AS BIGINT) AS parts_rewritten
+      FROM batch
+    ),
+    carried AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS parts_carried FROM (
+        SELECT DISTINCT p FROM base
+        EXCEPT SELECT DISTINCT p FROM batch)
+    )
+    SELECT r.p, r.n_rows, r.sum_val, r.min_k, r.max_k,
+           a.n_ins, a.n_upd, a.n_del, a.parts_rewritten, c.parts_carried
+    FROM rollup r CROSS JOIN audit a CROSS JOIN carried c
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID-style MERGE/upsert sink with snapshot read-back — the
+    lakehouse idiom the persist-family keys stop short of (round-11
+    verdict #2), built engine-portably: a partitioned parquet table +
+    a tiny versioned MANIFEST (partition → data version) stand in for
+    Delta/Iceberg's snapshot metadata, which the sandbox can't install.
+
+    The commit path (:func:`_merge_apply`): write base table v1
+    (partitioned by order month) + manifest v1; apply the change batch
+    — inserts (keys the base never had), updates (explicit new value,
+    NOT a function of the target — the idempotency property), deletes
+    (tombstones) — as a COPY-ON-WRITE merge that rewrites ONLY the
+    partitions the batch touches and carries the other ~90% of the
+    table BY REFERENCE in manifest v2.  The returned frame reads the
+    v2 SNAPSHOT back from disk (manifest + both data versions, the
+    carried-partition scan DPP-pruned by the manifest join) and
+    certifies it per partition: row count, exact-decimal value sum,
+    min/max key — against an oracle that recomputes the MERGE from
+    scratch with one full-outer join.  A stale carried partition, a
+    lost insert, or a half-applied tombstone each breaks a partition's
+    row.  The audit constants prove the bookkeeping: batch op counts
+    plus rewritten/carried partition counts read from the RELOADED
+    manifest (8 rewritten / 72 carried at sf0.1).
+
+    Concurrent readers: data files are immutable and a manifest is
+    written once per version, so a reader that resolved v1 keeps a
+    consistent table while v2 commits — snapshot isolation by
+    construction, no reader/writer lock.  Idempotent retry
+    (pytest-pinned): re-applying the same batch to v2 yields a v3
+    bit-identical to v2, because updates set batch-owned values and
+    deletes are no-ops on absent keys.
+
+    100 TB shape: commit cost is |batch| + |touched partitions|
+    (time-localized batches touch the calendar tail, never the
+    history); the manifest is |partitions| rows — metadata; the
+    full-outer merge join shuffles only affected-partition rows on the
+    key, and the snapshot read is a static union of per-version scans
+    whose file pruning the manifest join drives.  Nothing rewrites,
+    rescans, or re-sorts the carried 99%+ of the table."""
+    from task_mapreduce_spark.operators.relational import _work_dir
+
+    base, batch = _merge_base_batch(spark, sf_dir)
+
+    store = _work_dir("merge_upsert")
+    base.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+        f"{store}/data/v1"
+    )
+    man1 = base.select("p").distinct().withColumn(
+        "ver", F.lit(1).cast("int")
+    )
+    man1.write.mode("overwrite").parquet(f"{store}/manifest/v1")
+
+    # ---- the MERGE commit: v1 + batch → data v2 + manifest v2 ----
+    man1_store = spark.read.schema(_MANIFEST_SCHEMA).parquet(
+        f"{store}/manifest/v1"
+    )
+    _merge_apply(spark, store, man1_store, [1], batch, 2)
+
+    # ---- snapshot read-back: everything below touches the RELOADED
+    # manifest + data store only ----
+    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(
+        f"{store}/manifest/v2"
+    )
+    snap2 = _merge_read_snapshot(spark, store, man2, [1, 2])
+    rollup = snap2.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("val").alias("sum_val"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+    ops = batch.agg(
+        F.count(F.when(F.col("op") == "I", 1)).cast("bigint").alias("n_ins"),
+        F.count(F.when(F.col("op") == "U", 1)).cast("bigint").alias("n_upd"),
+        F.count(F.when(F.col("op") == "D", 1)).cast("bigint").alias("n_del"),
+    )
+    manstats = man2.agg(
+        F.count(F.when(F.col("ver") == 2, 1))
+        .cast("bigint")
+        .alias("parts_rewritten"),
+        F.count(F.when(F.col("ver") == 1, 1))
+        .cast("bigint")
+        .alias("parts_carried"),
+    )
+    audit = ops.crossJoin(F.broadcast(manstats))
+    return rollup.crossJoin(F.broadcast(audit))

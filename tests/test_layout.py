@@ -109,3 +109,44 @@ def test_zorder_files_cluster_both_dimensions(spark, sf_dir):
             xs, ys = t["x8"].to_pylist(), t["y8"].to_pylist()
             assert max(xs) - min(xs) <= 160, "x span too wide for a z-run"
             assert max(ys) - min(ys) <= 160, "y span too wide for a z-run"
+
+
+def test_merge_upsert_retry_is_idempotent(spark, sf_dir):
+    # the MERGE contract sink_merge_upsert's docstring claims: applying
+    # the SAME batch to the post-merge snapshot changes nothing — a
+    # retried/replayed commit (the at-least-once delivery reality) is a
+    # no-op because updates set batch-owned values (never a function of
+    # the target) and deletes of absent keys do nothing
+    from task_mapreduce_spark.operators.relational import _work_dir
+    from task_mapreduce_spark.operators.scale import (
+        _MANIFEST_SCHEMA,
+        _merge_apply,
+        _merge_base_batch,
+        _merge_read_snapshot,
+        sink_merge_upsert,
+    )
+
+    # build v1 + v2 via the registered key, then re-apply the batch
+    sink_merge_upsert(spark, sf_dir).collect()
+    store = _work_dir("merge_upsert")
+    _, batch = _merge_base_batch(spark, sf_dir)
+    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v2")
+    _merge_apply(spark, store, man2, [1, 2], batch, 3)
+
+    man3 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v3")
+    snap2 = _merge_read_snapshot(spark, store, man2, [1, 2])
+    snap3 = _merge_read_snapshot(spark, store, man3, [1, 2, 3])
+
+    rows2 = {(r["k"], r["p"]): r["val"] for r in snap2.collect()}
+    rows3 = {(r["k"], r["p"]): r["val"] for r in snap3.collect()}
+    assert rows2, "empty snapshot — fixture drift?"
+    assert rows3 == rows2, "retried MERGE mutated the table"
+
+    # the retry rewrote exactly the batch's partitions (as v3) and
+    # carried everything else at its prior version
+    v3_parts = {r["p"] for r in man3.filter(F.col("ver") == 3).collect()}
+    batch_parts = {r["p"] for r in batch.select("p").distinct().collect()}
+    assert v3_parts == batch_parts
+    carried = {(r["p"], r["ver"]) for r in man3.filter(F.col("ver") != 3).collect()}
+    prior = {(r["p"], r["ver"]) for r in man2.collect() if r["p"] not in batch_parts}
+    assert carried == prior

@@ -185,6 +185,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "events_attribution_incremental",  # 1-row pivot-bounds crossJoin
         "agg_quantile_merge",   # 1-row audit stats + 5-row quantile-read
         #                         frame against the ≤|bins|-row histogram
+        "sink_merge_upsert",    # two 1-row audit crossJoins (batch op
+        #                         counts × reloaded-manifest counts)
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -600,6 +602,9 @@ _BROADCAST_HINT_BUDGET = {
     # consumers) + cent_sup + probe-ranking cents + probe cells; earlier
     # assign rounds are checkpoint-truncated out of the analyzed tree
     "sim_search_ivf_hier": (5, "√nlist supers ×2 + nlist cent-groups + cents + probes"),
+    # manifest partition-selection joins (|partitions| rows = calendar-
+    # bounded metadata) ×2 snapshot versions + the two 1-row audit frames
+    "sink_merge_upsert": (4, "manifest prune joins ×2 versions + 1-row audits"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
@@ -783,6 +788,18 @@ def test_two_level_assign_engages_on_knob_path(spark, sf_dir):
     assert n_maxby(QUERIES["sim_search_ivf_hier"](spark, sf_dir)) >= 3, (
         "sim_search_ivf_hier lost the two-level assign — the x100 "
         "flat-assign cliff (412.7 s) is back on the registered key"
+    )
+
+
+def test_sink_merge_upsert_snapshot_read_is_partition_pruned(spark, sf_dir):
+    # the CoW claim: a snapshot read resolves the manifest and scans
+    # only the partitions each data version owns — the manifest join
+    # must drive dynamic partition pruning on the data scans, or every
+    # reader re-reads superseded partition copies
+    plan = plan_of(spark, sf_dir, "sink_merge_upsert", mode="formatted")
+    assert "dynamicpruning" in plan.lower(), (
+        "snapshot read lost its dynamic-pruning subquery — carried "
+        "partitions are being scanned from every data version"
     )
 
 
