@@ -601,3 +601,120 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_state_evolve — checkpointed state across a query RESTART with
+# a changed shuffle-partition count (round-11 verdict #5)
+# ---------------------------------------------------------------------------
+
+_SSE_PARTS_RUN1 = 5
+_SSE_PARTS_RUN2 = 13
+
+
+@register(
+    "stream_state_evolve",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_dsum("value")} AS total_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+)
+def stream_state_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store LIFECYCLE across a query restart — the
+    production failure mode the crash-recovery pytest doesn't reach:
+    an operations team redeploys the job with a retuned
+    ``spark.sql.shuffle.partitions`` (5 → 13 here) and the restarted
+    query must pick its keyed aggregation state back up from the
+    checkpoint, not recompute or drop it.
+
+    Two genuinely separate streaming RUNS against one checkpoint: the
+    purchase stream is split in half on independent md5 bits; run 1
+    streams the first half (per-user count + exact-decimal sum state,
+    complete-mode memory sink) under 5 shuffle partitions and stops;
+    the second half then LANDS AS NEW FILES, the session conf changes
+    to 13, and run 2 restarts from the same checkpoint, consuming only
+    the new files (the offset log already holds run 1's).  Spark pins
+    the state layout at FIRST start — the checkpoint's metadata
+    carries the original partition count, so the restarted query keeps
+    reading 5-way state under the 13-partition session (the restart
+    pytest asserts the on-disk state layout stayed 5-way).  The final
+    complete-mode emission therefore equals the batch aggregate over
+    BOTH halves — users seen ONLY before the restart must surface with
+    their exact pre-restart state, which is what the oracle's
+    from-scratch GROUP BY certifies (a dropped or re-keyed state
+    partition loses those users or their sums).
+
+    100 TB stance: keyed aggregation state shards by user exactly like
+    the batch shuffle; restart cost is state-store recovery (bounded
+    by |users|), never a source re-scan — the offset log guarantees
+    the consumed half is not re-read.  The pinned-at-first-start
+    layout is the documented operational limit: re-sharding state
+    needs an offline state rewrite (Spark's state data source), not a
+    conf change."""
+    import shutil
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    # run-1 half: ~half the events by event hash, PLUS one user-hash
+    # slice in its entirety — those users' state must cross the
+    # restart untouched (run 2 never sees a row of theirs), which is
+    # the certificate the restart pytest pins.  Two rules, two
+    # independent hash inputs (different columns), so neither slices
+    # the other (CLAUDE.md's composed-hash-rule trap).
+    def _h48(col: str):
+        return F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+        ).cast("long")
+
+    half = (_h48("user_id") % 4 == 0) | (_h48("event_id") % 2 == 0)
+    tmp = os.path.join(tempfile.gettempdir(), f"tmrs_sse_{os.getpid()}")
+    run_id = next(_memory_sink_counter)
+    src, ck = f"{tmp}/src_{run_id}", f"{tmp}/ckpt_{run_id}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    schema = "event_id LONG, user_id LONG, value DOUBLE"
+    name = f"stream_state_evolve_{os.getpid()}_{run_id}"
+
+    def run_once() -> None:
+        sdf = spark.readStream.schema(schema).parquet(src)
+        agg = sdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dsum("value").alias("total_value"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_state_evolve: stream timed out")
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # run 1: first half, 5 shuffle partitions — pins the state layout
+        purchases.filter(half).write.mode("overwrite").parquet(src)
+        spark.conf.set("spark.sql.shuffle.partitions", str(_SSE_PARTS_RUN1))
+        run_once()
+        # the second half lands; the job redeploys with a new conf and
+        # restarts against the SAME checkpoint
+        purchases.filter(~half).write.mode("append").parquet(src)
+        spark.conf.set("spark.sql.shuffle.partitions", str(_SSE_PARTS_RUN2))
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    out = spark.table(name)
+    # an empty purchase stream fires no trigger in run 1; the memory
+    # table still exists (registered at start) but guard anyway
+    if name not in [t.name for t in spark.catalog.listTables()]:
+        return spark.createDataFrame(
+            [], "user_id long, n_purchases long, total_value double"
+        )
+    return out

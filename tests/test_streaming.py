@@ -552,3 +552,66 @@ def test_foreachbatch_chunk_dedup_matches_batch_content(spark, sf_dir, tmp_path)
     batch_rows = QUERIES["dedup_chunks"](spark, sf_dir).collect()
     assert set(state) == {r["h"] for r in batch_rows if r["keep"]}
     assert sum(batch_sizes) == len(batch_rows)
+
+
+def test_stream_state_evolve_restart_keeps_state_layout(spark, sf_dir):
+    """The restart contract stream_state_evolve claims: run 2 restarts
+    from run 1's checkpoint under a CHANGED shuffle-partition conf, the
+    on-disk state layout stays pinned at run 1's count, and users seen
+    ONLY before the restart surface in the final emission with their
+    exact pre-restart state."""
+    import glob
+    import tempfile
+
+    from task_mapreduce_spark.functions.exact import dsum
+    from task_mapreduce_spark.registry import QUERIES
+    from task_mapreduce_spark.streaming.ops import (
+        _SSE_PARTS_RUN1,
+        _SSE_PARTS_RUN2,
+    )
+    from task_mapreduce_spark.tables import load
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    out = {
+        r["user_id"]: (r["n_purchases"], r["total_value"])
+        for r in QUERIES["stream_state_evolve"](spark, sf_dir).collect()
+    }
+    assert out, "empty emission — fixture drift?"
+    # the operator restored the session conf it perturbed
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+    # state layout on disk: pinned at run 1's count, NOT run 2's conf
+    tmp = os.path.join(tempfile.gettempdir(), f"tmrs_sse_{os.getpid()}")
+    cks = sorted(glob.glob(f"{tmp}/ckpt_*"), key=os.path.getmtime)
+    assert cks, "no checkpoint left behind"
+    state0 = os.path.join(cks[-1], "state", "0")
+    parts = [d for d in os.listdir(state0) if d.isdigit()]
+    assert len(parts) == _SSE_PARTS_RUN1
+    assert len(parts) != _SSE_PARTS_RUN2
+
+    # users whose EVERY purchase is in the pre-restart half (the
+    # user-hash slice the operator routes to run 1 in its entirety):
+    # their state crossed the restart untouched — run 2 never saw a
+    # row of theirs
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    uhash = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("value").alias("tv"),
+            F.min((uhash % 4 == 0).cast("int")).alias("all_half1"),
+        )
+        .collect()
+    )
+    run1_only = [r for r in per_user if r["all_half1"] == 1]
+    assert run1_only, "no run-1-only user in the fixture — weaken split?"
+    for r in run1_only:
+        assert out[r["user_id"]] == (r["n"], r["tv"]), (
+            f"user {r['user_id']} lost pre-restart state"
+        )
