@@ -165,6 +165,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "basket_pairs",         # 1-row order-total crossJoin (lift denominator)
         "embedding_pq",         # 1-row stride-params crossJoin (seed rule)
         "sim_search_pq",        # shares embedding_pq's 1-row params crossJoin
+        "sim_search_pq_const",  # same shape, constant-K codebook arm
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
         "sim_eval_recall_multi",  # embeds topk/ann/ivf/pq arms + 5-probe L2 scan
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
@@ -616,6 +617,9 @@ _BROADCAST_HINT_BUDGET = {
     "pipeline_retrieval_e2e": (3, "1-row query vector + bm25 stats"),
     "embedding_pq": (3, "M·√N-row codebook broadcast per assign (seed +"
                         " 1 Lloyd re-assign; params hidden by checkpoints)"),
+    # the flat arm minus the derived-stride params hint (constant K is a
+    # plain literal, no 1-row params frame to broadcast) — measured 4
+    "sim_search_pq_const": (4, "encode assigns + ADC table + rerank sides"),
     "sim_search_pq": (6, "encode arm's assigns + ADC lookup table + |q|·k'"
                          " shortlist + |q|-row query vectors (all"
                          " centroid/metadata class)"),

@@ -402,6 +402,56 @@ def test_sim_search_pq_rerank_recall_and_invariants(spark, sf_dir):
     assert rec >= 0.5, rec
 
 
+def test_sim_search_pq_const_recall_and_linearity_rule(spark, sf_dir):
+    # the registered constant-codebook configuration (round 12): same
+    # two-stage invariants as the flat key, codebook size pinned ≈ K
+    # regardless of corpus size (the linear-encode regime), recall
+    # floor from the measured K grid (0.54/0.62/0.78 at 16/32/64)
+    from task_mapreduce_spark.operators.training_pipeline import (
+        _pq_slices,
+        _PQ_CONST_K,
+        _PQ_M,
+        _PQ_TOP_K,
+    )
+    from task_mapreduce_spark.tables import load
+
+    rows = QUERIES["sim_search_pq_const"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    rec = 0.0
+    for q, grp in by_q.items():
+        assert sorted(r["rank"] for r in grp) == list(
+            range(1, _PQ_TOP_K + 1)
+        )
+        got = {r["vec_id"] for r in grp}
+        qv = vecs[q]
+        d = {
+            i: sum((a - b) ** 2 for a, b in zip(v, qv))
+            for i, v in vecs.items()
+            if i != q
+        }
+        exact = [
+            i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))
+        ][:_PQ_TOP_K]
+        rec += len(got & set(exact)) / _PQ_TOP_K
+    rec /= len(by_q)
+    assert rec >= 0.55, rec
+
+    # the codebook really is ≈ K per subspace (the constant-regime
+    # rule, NOT √N): seed count per sub is hash-binomial around K
+    _, cs = _pq_slices(spark, sf_dir, target_k=_PQ_CONST_K)
+    per_sub = cs.groupBy("sub").count().collect()
+    assert len(per_sub) == _PQ_M
+    for r in per_sub:
+        assert 0.4 * _PQ_CONST_K <= r["count"] <= 2.0 * _PQ_CONST_K
+
+
 # ---------------------------------------------------------------------------
 # events_attribution
 # ---------------------------------------------------------------------------
