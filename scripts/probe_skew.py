@@ -22,8 +22,14 @@ join/group axis one key carries ~50% of the rows:
 Primary keys stay untouched (uniqueness is a table invariant) and
 every mutated FK keeps pointing at an existing dimension row (the MIN
 of the column), so the rewrite is a legal corpus instance — just a
-pathologically skewed one.  The 50% coin is a deterministic md5 of
-the row's PK.  BOTH engines read the same rewritten files, so any
+pathologically skewed one.  The 50% coin is a SALTED md5 of the row's
+PK (md5(pk || 'skew-probe')) — independent of every in-repo portable
+hash rule by construction: chars 1-12 OR 13-24 of the unsalted digest
+would correlate the rewrite with the operators' own splits (e.g. the
+event-hash run-1 half of stream_state_evolve, the %64 IVF seed rule —
+any hash%2k==0 slice nests inside an unsalted %2==0 coin), silently
+diluting the probe on exactly the axes it claims to stress (review,
+round 12).  BOTH engines read the same rewritten files, so any
 hash mismatch is a skew-dependence in one engine's plan (lost rows in
 a split skew partition, an order-dependent fold), not a data change.
 
@@ -81,7 +87,16 @@ def main() -> int:
             hot = df.agg(F.min(col).alias("hot"))
             coin = (
                 F.conv(
-                    F.substring(F.md5(F.expr(pk).cast("string")), 1, 12),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.expr(pk).cast("string"),
+                                F.lit("skew-probe"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
                     16,
                     10,
                 ).cast("long")

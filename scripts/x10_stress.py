@@ -139,6 +139,33 @@ if not os.path.exists(f"{X10}/events.parquet"):
         .parquet(f"{X10}/events.parquet"))
     print(f"x{REPS} events built at {X10}", flush=True)
 
+if not os.path.exists(f"{X10}/orders.parquet"):
+    # orders replicas shift BOTH keys by max(id)+1 strides (uniqueness
+    # only — FIXTURES.md promises no density): more orders AND more
+    # customers, dates unchanged, so month-partition counts stay fixed
+    # while per-partition volume scales — the sink_merge_upsert growth
+    # mode (CoW cost ∝ affected-partition rows, not partitions)
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    mo = o.agg(
+        (F.max("o_orderkey") + 1).alias("okstride"),
+        (F.max("o_custkey") + 1).alias("ckstride"),
+    ).collect()[0]
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    (o.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * mo["okstride"]).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("rep") * mo["ckstride"]).alias(
+                "o_custkey"
+            ),
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
+        .coalesce(max(4, REPS // 12)).write.mode("overwrite")
+        .parquet(f"{X10}/orders.parquet"))
+    print(f"x{REPS} orders built at {X10}", flush=True)
+
 
 def mat(df):
     df.write.mode("overwrite").format("noop").save()

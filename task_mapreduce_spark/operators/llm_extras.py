@@ -1582,6 +1582,29 @@ _IVF_NPROBE = 5        # each query searches its 5 nearest cells
 _IVF_LLOYD_STEPS = 1   # k-means refinement rounds over the hash seeds
 
 
+def _lloyd_mean_ctes(src_cells: str, idx: int) -> list:
+    """The exact-decimal / round-9 Lloyd-mean CTE triple
+    (elems/means/cents) shared by ``_ivf_cells_ctes`` (√N chain) and
+    ``_ivf_hier_ctes`` (two-level chain): ONE emitter, so the float
+    discipline the oracles' bit-stability rests on cannot fork between
+    the two generators (review, round 12)."""
+    return [
+        f"""elems{idx} AS (
+      SELECT c0.cell, unnest(e.v) AS val, unnest(range(len(e.v))) AS idx
+      FROM {src_cells} c0 JOIN e USING (vec_id)
+    )""",
+        f"""means{idx} AS (
+      SELECT cell, idx,
+             round(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+      FROM elems{idx} GROUP BY cell, idx
+    )""",
+        f"""cents{idx} AS (
+      SELECT cell AS cid, list(m ORDER BY idx) AS cv FROM means{idx} GROUP BY cell
+    )""",
+    ]
+
+
 def _ivf_cells_ctes(steps: int = _IVF_LLOYD_STEPS, where: str = "") -> str:
     """Shared IVF cell construction — the ONE clustering sim_search_ivf,
     dedup_semantic and mine_hard_negatives all build on, as a DuckDB CTE
@@ -1637,25 +1660,7 @@ def _ivf_cells_ctes(steps: int = _IVF_LLOYD_STEPS, where: str = "") -> str:
     ]
     for r in range(1, steps + 1):
         prev = f"cells{r - 1}"
-        ctes.append(
-            f"""elems{r} AS (
-      SELECT c0.cell, unnest(e.v) AS val, unnest(range(len(e.v))) AS idx
-      FROM {prev} c0 JOIN e USING (vec_id)
-    )"""
-        )
-        ctes.append(
-            f"""means{r} AS (
-      SELECT cell, idx,
-             round(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
-                     / COUNT(*), 9) AS m
-      FROM elems{r} GROUP BY cell, idx
-    )"""
-        )
-        ctes.append(
-            f"""cents{r} AS (
-      SELECT cell AS cid, list(m ORDER BY idx) AS cv FROM means{r} GROUP BY cell
-    )"""
-        )
+        ctes.extend(_lloyd_mean_ctes(prev, r))
         ctes.append(
             f"""asn{r} AS (
       SELECT e.vec_id, c.cid,
@@ -1818,12 +1823,17 @@ def _ivf_cells(
             F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10
         ).cast("long")
         # hash-ranked thinning over the nlist-row table: exactly
-        # ceil(nlist/g) supers, never empty (single-partition window
-        # is fine on a metadata-sized frame)
+        # ceil(nlist/g) supers, never empty — the rule is
+        # (rk − 1) % g == 0, which keeps rank 1 for EVERY g including
+        # the g = 1 degenerate (a one-centroid table: `rk % 1 == 1` is
+        # false for all rows and silently emptied the supers, dropping
+        # every assignment — caught by review, round 12; two-level
+        # collapses to flat at g = 1, as it should).  Single-partition
+        # window is fine on a metadata-sized frame.
         wr = Window.orderBy(hcid.asc(), F.col("cid").asc())
         supers = (
             centroids.withColumn("rk", F.row_number().over(wr))
-            .filter((F.col("rk") % g) == 1)
+            .filter(((F.col("rk") - 1) % g) == 0)
             .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"))
             .localCheckpoint()  # broadcast to 2 consumers below
         )
@@ -2048,7 +2058,8 @@ def _ivf_hier_ctes(
 
     - ``g{r}``    — ceil(√nlist), the super-group width;
     - ``sup{r}``  — every g-th centroid in portable-hash rank order
-      (Spark: ``row_number() % g == 1`` over (md5-hash asc, cid asc));
+      (Spark: ``(row_number() - 1) % g == 0`` over (md5-hash asc,
+      cid asc) — rank 1 survives for every g, including g = 1);
     - ``csup{r}`` — centroid → nearest super (rounded dot DESC, sid);
     - ``vsup{r}`` — vector → nearest super (same ordering rule);
     - ``cells{r}``— vector → argmax centroid WITHIN its super's group
@@ -2086,7 +2097,7 @@ def _ivf_hier_ctes(
                  ORDER BY ('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 12))
                             ::BIGINT ASC, cid ASC) AS rk
         FROM cents{r}), g{r}
-      WHERE rk % g = 1
+      WHERE (rk - 1) % g = 0
     )"""
         )
         ctes.append(
@@ -2123,26 +2134,7 @@ def _ivf_hier_ctes(
     )"""
         )
         if r < steps:
-            ctes.append(
-                f"""elems{r + 1} AS (
-      SELECT c0.cell, unnest(e.v) AS val, unnest(range(len(e.v))) AS idx
-      FROM cells{r} c0 JOIN e USING (vec_id)
-    )"""
-            )
-            ctes.append(
-                f"""means{r + 1} AS (
-      SELECT cell, idx,
-             round(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
-                     / COUNT(*), 9) AS m
-      FROM elems{r + 1} GROUP BY cell, idx
-    )"""
-            )
-            ctes.append(
-                f"""cents{r + 1} AS (
-      SELECT cell AS cid, list(m ORDER BY idx) AS cv
-      FROM means{r + 1} GROUP BY cell
-    )"""
-            )
+            ctes.extend(_lloyd_mean_ctes(f"cells{r}", r + 1))
     ctes.append(f"cents AS (SELECT * FROM cents{steps})")
     ctes.append(f"cells AS (SELECT * FROM cells{steps})")
     return ",\n    ".join(ctes)

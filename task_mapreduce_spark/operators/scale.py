@@ -558,7 +558,12 @@ def _merge_apply(
     with readers always consistent: they resolve a manifest version,
     and data files under it are immutable."""
     snap = _merge_read_snapshot(spark, store, man_src, src_vers)
-    affected = batch.select("p").distinct()
+    # eager checkpoint: `affected` is metadata-sized (calendar-bounded)
+    # but BROADCAST to two consumers (the merge-scan prune and the
+    # manifest anti-join/union) — a broadcast subtree re-executes its
+    # whole child plan per consuming job (CLAUDE.md), which here means
+    # re-deriving the batch from the base scan per job
+    affected = batch.select("p").distinct().localCheckpoint()
     tgt = snap.join(F.broadcast(affected), "p")
     b = batch.select("k", F.col("p").alias("bp"), "op", "bval")
     merged = (
@@ -716,9 +721,11 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and the snapshot read is a static union of per-version scans
     whose file pruning the manifest join drives.  Nothing rewrites,
     rescans, or re-sorts the carried 99%+ of the table."""
-    from task_mapreduce_spark.operators.relational import _work_dir
-
     base, batch = _merge_base_batch(spark, sf_dir)
+    # the batch feeds three jobs (merge write, affected derivation, the
+    # op-count audit); checkpoint it once — |batch| narrow rows, the
+    # CDC working set a real commit holds as its input anyway
+    batch = batch.localCheckpoint()
 
     store = _work_dir("merge_upsert")
     base.repartition("p").write.mode("overwrite").partitionBy("p").parquet(

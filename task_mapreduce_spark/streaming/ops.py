@@ -710,11 +710,12 @@ def stream_state_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_once()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
-    out = spark.table(name)
-    # an empty purchase stream fires no trigger in run 1; the memory
-    # table still exists (registered at start) but guard anyway
+    # an empty purchase stream can fire no trigger, leaving no memory
+    # table behind — check BEFORE spark.table, which raises eagerly on
+    # a missing view (the guard was unreachable below it; review,
+    # round 12)
     if name not in [t.name for t in spark.catalog.listTables()]:
         return spark.createDataFrame(
             [], "user_id long, n_purchases long, total_value double"
         )
-    return out
+    return spark.table(name)

@@ -784,6 +784,30 @@ def test_two_level_assign_engages_on_knob_path(spark, sf_dir):
     cells = {r["cell"] for r in hier.select("cell").distinct().collect()}
     assert cells <= cents_ids
 
+    # g = 1 degenerate (review, round 12): a ONE-centroid table must
+    # still produce supers — the old `rk % g == 1` rule was false for
+    # every row at g = 1, silently emptying the supers and dropping
+    # every assignment on both engines (a vacuous-oracle class bug).
+    # Build a corpus holding exactly one constant-stride seed.
+    import hashlib
+
+    def h48(v) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+
+    all_ids = [r["vec_id"] for r in e.select("vec_id").collect()]
+    seed_ids = [v for v in all_ids if h48(v) % 64 == 0]
+    non_seed = [v for v in all_ids if h48(v) % 64 != 0][:7]
+    tiny_ids = set(non_seed + seed_ids[:1])
+    tiny = e.filter(F.col("vec_id").isin(*tiny_ids))
+    hier1, cents1 = _ivf_cells(tiny, lloyd_steps=0, target_cell=64)
+    assert cents1.count() == 1, "expected exactly one seed"
+    got = hier1.select("vec_id", "cell").collect()
+    assert len(got) == len(tiny_ids), (
+        "g=1 super selection dropped assignments — the rk%g==1 "
+        "degenerate is back"
+    )
+    assert {r["cell"] for r in got} == {seed_ids[0]}
+
     # and the REGISTERED knob-configuration key (round-11 verdict #1)
     # takes the two-level arm: its final assign round is live in the
     # analyzed tree (earlier rounds are checkpoint-truncated) and must
