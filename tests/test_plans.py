@@ -166,6 +166,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "embedding_pq",         # 1-row stride-params crossJoin (seed rule)
         "sim_search_pq",        # shares embedding_pq's 1-row params crossJoin
         "sim_search_pq_const",  # same shape, constant-K codebook arm
+        "sim_search_ivfpq",     # 1-row stride params + √N centroid rows
+        #                         (the IVF coarse level's broadcasts)
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
         "sim_eval_recall_multi",  # embeds topk/ann/ivf/pq arms + 5-probe L2 scan
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
@@ -620,6 +622,10 @@ _BROADCAST_HINT_BUDGET = {
     # the flat arm minus the derived-stride params hint (constant K is a
     # plain literal, no 1-row params frame to broadcast) — measured 4
     "sim_search_pq_const": (4, "encode assigns + ADC table + rerank sides"),
+    # composed IVF+PQ: centroid broadcasts (res build + probe ranking) +
+    # per-(query,cell) lookup tables + shortlist/query rerank sides;
+    # earlier assign rounds checkpoint-truncated — measured 4
+    "sim_search_ivfpq": (4, "cents ×2 + |q|·nprobe·M·K tables + rerank sides"),
     "sim_search_pq": (6, "encode arm's assigns + ADC lookup table + |q|·k'"
                          " shortlist + |q|-row query vectors (all"
                          " centroid/metadata class)"),

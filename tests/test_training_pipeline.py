@@ -661,3 +661,44 @@ def test_pq_index_persist_audit_counts(spark, sf_dir):
     # per-subspace codebooks: between M (one codeword each) and
     # M * ~2*sqrt(N) (the seed-stride ceiling)
     assert _PQ_M <= w <= _PQ_M * (2 * int(n ** 0.5) + 2)
+
+
+def test_sim_search_ivfpq_recall_and_invariants(spark, sf_dir):
+    # the composed IVFADC key (round 12): two-stage invariants plus a
+    # recall floor.  Composed recall is bounded by the IVF probe's own
+    # recall ceiling (nprobe=5 of ~sqrt(N) cells: 0.58 on this fixture)
+    # times residual-PQ shortlist quality — measured 0.54/0.52 at
+    # sf0.001/0.01; 0.45 pins the composition working without
+    # over-fitting the fixture.
+    from task_mapreduce_spark.operators.training_pipeline import _PQ_TOP_K
+    from task_mapreduce_spark.tables import load
+
+    rows = QUERIES["sim_search_ivfpq"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        assert r["dist"] >= 0.0 and r["adc_dist"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "composed index returned nothing"
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    rec = 0.0
+    for q, grp in by_q.items():
+        assert sorted(r["rank"] for r in grp) == list(
+            range(1, _PQ_TOP_K + 1)
+        )
+        got = {r["vec_id"] for r in grp}
+        qv = vecs[q]
+        d = {
+            i: sum((a - b) ** 2 for a, b in zip(v, qv))
+            for i, v in vecs.items()
+            if i != q
+        }
+        exact = [
+            i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))
+        ][:_PQ_TOP_K]
+        rec += len(got & set(exact)) / _PQ_TOP_K
+    rec /= len(by_q)
+    assert rec >= 0.45, rec
