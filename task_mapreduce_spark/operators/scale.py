@@ -517,7 +517,21 @@ def _merge_read_snapshot(spark, store: str, man: DataFrame, vers) -> DataFrame:
     read touches exactly the files the manifest names, never a
     superseded partition's stale copy.  ``vers`` is the STATIC version
     list each call site knows by construction (v2 snapshot = {1, 2}) —
-    no driver-side manifest collect."""
+    no driver-side manifest collect.  Coverage is ASSERTED, not assumed
+    (round-12 advice): a call site handing a stale list would silently
+    lose every partition whose manifest version is absent from it (the
+    inner join just filters them out), so any uncovered manifest row
+    raises before a data row is read — one metadata-sized count over
+    the |partitions|-row manifest."""
+    uncovered = man.filter(
+        ~F.col("ver").isin([int(v) for v in vers])
+    ).count()
+    if uncovered:
+        raise ValueError(
+            f"snapshot read covers versions {sorted(int(v) for v in vers)} "
+            f"but the manifest references {uncovered} partition(s) outside "
+            "them — stale version list at the call site"
+        )
     parts = []
     for v in vers:
         data = spark.read.schema(_MERGE_SCHEMA).parquet(f"{store}/data/v{v}")
