@@ -1708,6 +1708,54 @@ def _ivf_assign_topology(target_cell: int | None) -> str:
     return "flat" if target_cell is None else "two_level"
 
 
+def _super_structs(cents: DataFrame):
+    """Super-centroid structures over a centroid table — the ONE
+    derivation shared by the two-level ASSIGN (per Lloyd round, inside
+    :func:`_ivf_cells`) and the two-level PROBE (final cents,
+    :func:`_hier_probes`), so build and serve can never disagree on
+    the super grouping.  Returns ``(n_cents, supers, cent_sup)``:
+
+    - ``n_cents`` — the centroid count (one metadata-sized action;
+      callers reuse it for g / nprobe derivations);
+    - ``supers(sid, sv)`` — every g-th centroid in portable-hash rank
+      order, g = ceil(√n_cents); the rule is ``(rk − 1) % g == 0``,
+      which keeps rank 1 for EVERY g including the g = 1 degenerate
+      (`rk % g == 1` selected NOTHING at g = 1 and silently emptied
+      every assignment — caught by review, round 12; regression-pinned
+      in test_plans.py).  Single-partition window is fine on a
+      metadata-sized frame;
+    - ``cent_sup(cid, cv, sid)`` — centroid → nearest super.  The
+      nlist×√nlist ranking stream carries SCALARS only (cid, ds, sid);
+      the centroid vector re-joins AFTER the argmax from the cents
+      frame (the CLAUDE.md wide-stream discipline — the previous form
+      dragged cv through every pair row via F.first in the agg)."""
+    n_cents = cents.count()  # metadata-sized (nlist rows)
+    g = int(math.ceil(math.sqrt(max(1, n_cents))))
+    hcid = F.conv(
+        F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    wr = Window.orderBy(hcid.asc(), F.col("cid").asc())
+    supers = (
+        cents.withColumn("rk", F.row_number().over(wr))
+        .filter(((F.col("rk") - 1) % g) == 0)
+        .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"))
+        .localCheckpoint()  # broadcast to ≥2 consumers
+    )
+    ds_cc = F.round(_dot(F.col("cv"), F.col("sv")), 6)
+    slim = (
+        cents.crossJoin(F.broadcast(supers))
+        .select("cid", ds_cc.alias("ds"), "sid")
+        .groupBy("cid")
+        .agg(
+            F.max_by(
+                "sid", F.struct(F.col("ds"), (-F.col("sid")).alias("ns"))
+            ).alias("sid")
+        )
+    )
+    cent_sup = cents.join(slim, "cid")
+    return n_cents, supers, cent_sup
+
+
 def _ivf_cells(
     e: DataFrame,
     lloyd_steps: int = _IVF_LLOYD_STEPS,
@@ -1816,40 +1864,13 @@ def _ivf_cells(
         nearest centroid lives under a different super lands one cell
         over — acceptable by construction on the knob path, which
         trades exactness for linearity; the REGISTERED keys keep the
-        flat √N assign and their oracles replay it verbatim)."""
-        n_cents = centroids.count()  # metadata-sized (nlist rows)
-        g = int(math.ceil(math.sqrt(max(1, n_cents))))
-        hcid = F.conv(
-            F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10
-        ).cast("long")
-        # hash-ranked thinning over the nlist-row table: exactly
-        # ceil(nlist/g) supers, never empty — the rule is
-        # (rk − 1) % g == 0, which keeps rank 1 for EVERY g including
-        # the g = 1 degenerate (a one-centroid table: `rk % 1 == 1` is
-        # false for all rows and silently emptied the supers, dropping
-        # every assignment — caught by review, round 12; two-level
-        # collapses to flat at g = 1, as it should).  Single-partition
-        # window is fine on a metadata-sized frame.
-        wr = Window.orderBy(hcid.asc(), F.col("cid").asc())
-        supers = (
-            centroids.withColumn("rk", F.row_number().over(wr))
-            .filter(((F.col("rk") - 1) % g) == 0)
-            .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"))
-            .localCheckpoint()  # broadcast to 2 consumers below
-        )
-        ds_cc = F.round(_dot(F.col("cv"), F.col("sv")), 6)
-        cent_sup = (
-            centroids.crossJoin(F.broadcast(supers))
-            .select("cid", "cv", ds_cc.alias("ds"), "sid")
-            .groupBy("cid")
-            .agg(
-                F.max_by(
-                    "sid", F.struct(F.col("ds"), (-F.col("sid")).alias("ns"))
-                ).alias("sid"),
-                F.first("cv").alias("cv"),  # metadata-sized agg: carrying
-                #                             the array here is nlist rows
-            )
-        )
+        flat √N assign and their oracles replay it verbatim).
+
+        Super structures come from :func:`_super_structs` — the same
+        derivation the two-level PROBE runs over the final cents
+        (round-13), so build and serve share one super grouping by
+        construction."""
+        _, supers, cent_sup = _super_structs(centroids)
         ds_vs = F.round(_dot(F.col("v"), F.col("sv")), 6)
         v_sup = (
             frame.crossJoin(F.broadcast(supers))
@@ -2137,23 +2158,134 @@ def _ivf_hier_ctes(
             ctes.extend(_lloyd_mean_ctes(f"cells{r}", r + 1))
     ctes.append(f"cents AS (SELECT * FROM cents{steps})")
     ctes.append(f"cells AS (SELECT * FROM cells{steps})")
+    # the FINAL round's super structures, re-exported under step-count-
+    # agnostic names: the two-level PROBE (round-13) ranks through
+    # exactly the supers/centroid-groups the final assign used
+    ctes.append(f"sup AS (SELECT * FROM sup{steps})")
+    ctes.append(f"csup AS (SELECT * FROM csup{steps})")
     return ",\n    ".join(ctes)
+
+
+_IVF_SUPER_PROBE = 3  # supers each query's probe ranking descends into
+
+
+def _hier_probe_ctes() -> str:
+    """DuckDB twin of :func:`_hier_probes` — the two-level probe over
+    a hier chain's ``e``/``cents``/``sup``/``csup`` CTEs, ending in
+    ``probes(query_id, cell)``.  nprobe is SIZE-SCALED from a scalar
+    subquery over the centroid table (round-12 verdict #3: the fixed
+    nprobe 5 decayed recall 0.86 → 0.68 across one decade; holding the
+    probed-corpus fraction needs nprobe ∝ √nlist — the same
+    portable-scalar-dial move as sim_search_ann's active-plane clamp),
+    and ranking descends through the top-``_IVF_SUPER_PROBE`` supers
+    only (round-12 verdict #4: ranking ALL cells per query is an
+    nlist-row broadcast — ~16 M rows at 1 B vectors; supers-first makes
+    the broadcast √nlist-sized and per-query ranking S·√nlist)."""
+    return f"""
+    npp AS (
+      SELECT greatest({_IVF_NPROBE}, CAST(ceil(sqrt(count(*))) AS BIGINT))
+               AS np
+      FROM cents
+    ),
+    qsup AS (
+      SELECT vec_id AS query_id, sid FROM (
+        SELECT e.vec_id, s.sid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, s.sv), 6) DESC,
+                          s.sid) AS rn
+        FROM e CROSS JOIN sup s
+        WHERE e.vec_id < {_ANN_N_QUERIES})
+      WHERE rn <= {_IVF_SUPER_PROBE}
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC,
+                          c.cid) AS rn
+        FROM qsup q JOIN csup c USING (sid)
+        JOIN e ON e.vec_id = q.query_id), npp
+      WHERE rn <= npp.np
+    )"""
+
+
+def _hier_probes(
+    e: DataFrame, cents: DataFrame, with_centroid: bool = False
+) -> DataFrame:
+    """Two-level probe ranking over the final centroid table — the
+    serving-side completion of the constant-cell regime (round-12
+    verdict #3 + #4), returning ``(query_id, qv, qn, cell)`` ready for
+    the cell-postings scoring join.  Two dials, both size-derived:
+
+    - **nprobe = max(_IVF_NPROBE, ceil(√nlist))** — the constant-cell
+      regime holds E[cell] flat, so a FIXED nprobe probes a shrinking
+      corpus fraction as N grows (measured recall decay 0.86 → 0.68
+      across one decade at nprobe 5, PERF.md round 12); √nlist keeps
+      the probed fraction ≈ nprobe·s/N ∝ 1/√nlist falling SLOWLY while
+      per-query scoring stays nprobe·s = √nlist·s rows.  nlist is the
+      metadata-sized count :func:`_super_structs` already takes;
+      the oracle derives the same dial from a scalar subquery.
+    - **supers-first ranking**: queries rank the √nlist-row SUPER
+      table (broadcast — 4 KB·√nlist, N-independent comfort at any
+      scale), descend into their top ``_IVF_SUPER_PROBE`` supers'
+      centroid groups via an equi-join on sid (the |q|·S row side
+      broadcasts, never the nlist-row centroid table), and take the
+      top nprobe cells within those groups.  Ranking work per query is
+      √nlist + S·√nlist instead of the flat nlist scan; the flat form
+      broadcast the FULL centroid table (~16 M rows at 1 B vectors —
+      the round-12 watch item this closes).  Like the two-level
+      ASSIGN, the restriction is approximate BY CONSTRUCTION (a true
+      top-nprobe cell under an unranked super is skipped) — and the
+      oracle replays the same restriction, so the certified result IS
+      the approximate probe.
+
+    ``with_centroid=True`` appends the probed cell's centroid vector
+    (``ccv``) to the output — the residual consumer's shape
+    (sim_search_ivfpq derives the query's cell-relative residual from
+    it); the plain-IVF consumers leave it off and Catalyst prunes the
+    column below the ranking window."""
+    n_cents, supers, cent_sup = _super_structs(cents)
+    nprobe = max(_IVF_NPROBE, int(math.ceil(math.sqrt(max(1, n_cents)))))
+    q = e.filter(F.col("vec_id") < _ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ds_qs = F.round(_dot(F.col("qv"), F.col("sv")), 6)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ds"), F.asc("sid"))
+    qsup = (
+        q.crossJoin(F.broadcast(supers))
+        .select("query_id", "qv", ds_qs.alias("ds"), "sid")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_SUPER_PROBE)
+        .select("query_id", "qv", "sid")
+    )
+    d_qc = F.round(_dot(F.col("qv"), F.col("cv")), 6)
+    wc = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
+    out_cols = [
+        "query_id",
+        "qv",
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"),
+        "cell",
+    ] + ([F.col("ccv")] if with_centroid else [])
+    return (
+        cent_sup.join(F.broadcast(qsup), "sid")
+        .select(
+            "query_id",
+            "qv",
+            d_qc.alias("d"),
+            F.col("cid").alias("cell"),
+            F.col("cv").alias("ccv"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= nprobe)
+        .select(*out_cols)
+    )
 
 
 @register(
     "sim_search_ivf_hier",
     oracle=f"""
     WITH {_ivf_hier_ctes()},
-    probes AS (
-      SELECT query_id, cell FROM (
-        SELECT e.vec_id AS query_id, c.cid AS cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC,
-                          c.cid) AS rn
-        FROM e CROSS JOIN cents c
-        WHERE e.vec_id < {_ANN_N_QUERIES})
-      WHERE rn <= {_IVF_NPROBE}
-    ),
+    {_hier_probe_ctes()},
     scored AS (
       SELECT p.query_id, c.vec_id,
              round(list_cosine_similarity(eq.v, ev.v), 6) AS score
@@ -2197,42 +2329,24 @@ def sim_search_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
       the certified result IS the approximate assignment, not a
       vacuous subset bit.
 
-    Probe/score arms are byte-identical to the flat key (probe ranking
-    is |queries| × nlist through the broadcast centroid table — probe
-    cost is √N-shaped in either regime, PERF.md).  Recall@10 at
-    sf0.01 measures 0.86 vs the √N default's 0.58 (nprobe 5 of ~N/64
-    cells covers a larger corpus fraction at small N; the recall
-    pytest pins the floor).  100 TB shape: build is linear (N×2√nlist
-    assign + N-row shuffles), serving probes nprobe × E[cell] ≈ 320
-    score rows per query, and the centroid table at 1 B vectors is
-    ~16 M rows — past single-broadcast comfort, which is exactly when
-    the two-level table (√nlist supers broadcast, centroid groups
-    equi-joined) is the standard serving layout anyway."""
+    The probe side is TWO-LEVEL and SIZE-SCALED as of round 13
+    (:func:`_hier_probes`, closing round-12 verdict #3 + #4): nprobe =
+    max(5, ceil(√nlist)) holds the probed corpus fraction across
+    decades instead of decaying (fixed nprobe 5 measured 0.86 → 0.68
+    recall across one ×10 step — PERF.md round 12; the ×10 recall grid
+    pytest now pins ≥ 0.7 at BOTH scales), and probe ranking descends
+    supers-first — the √nlist-row super table is the only broadcast
+    table of the ranking (the flat form broadcast all nlist centroids,
+    ~16 M rows at 1 B vectors: the round-12 watch item), with the
+    centroid groups reached by an sid equi-join against the broadcast
+    |q|·S query side.  100 TB shape: build is linear (N×2√nlist assign
+    + N-row shuffles); serving ranks √nlist + S·√nlist rows per query
+    and scores nprobe × E[cell] = √nlist·64 rows — every stage
+    N-independent per query or √nlist-sized."""
     emb = load(spark, sf_dir, "embeddings")
     e = _normed_vectors(emb)
     assigned, cents = _ivf_cells(e, target_cell=_IVF_HIER_CELL)
-    d = F.round(_dot(F.col("v"), F.col("cv")), 6)
-    pr = (
-        e.filter(F.col("vec_id") < _ANN_N_QUERIES)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            d.alias("d"),
-            F.col("cid").alias("cell"),
-        )
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cell"))
-    probes = (
-        pr.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select(
-            "query_id",
-            "qv",
-            F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"),
-            "cell",
-        )
-    )
+    probes = _hier_probes(e, cents)
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

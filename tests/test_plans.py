@@ -604,7 +604,10 @@ _BROADCAST_HINT_BUDGET = {
     # two-level assign: supers subtree embedded twice (cent_sup + v_sup
     # consumers) + cent_sup + probe-ranking cents + probe cells; earlier
     # assign rounds are checkpoint-truncated out of the analyzed tree
-    "sim_search_ivf_hier": (5, "√nlist supers ×2 + nlist cent-groups + cents + probes"),
+    "sim_search_ivf_hier": (7, "assign supers ×2 + cent-groups + seed params"
+                               " + probe supers + |q|·S qsup + probes"
+                               " (two-level probe, round 13 — measured"
+                               " tree count)"),
     # manifest partition-selection joins (|partitions| rows = calendar-
     # bounded metadata) ×2 snapshot versions + the two 1-row audit frames
     "sink_merge_upsert": (4, "manifest prune joins ×2 versions + 1-row audits"),

@@ -668,12 +668,13 @@ def test_pq_index_persist_audit_counts(spark, sf_dir):
 
 
 def test_sim_search_ivfpq_recall_and_invariants(spark, sf_dir):
-    # the composed IVFADC key (round 12): two-stage invariants plus a
+    # the composed IVFADC key (round 12; hier coarse level + two-level
+    # size-scaled probe as of round 13): two-stage invariants plus a
     # recall floor.  Composed recall is bounded by the IVF probe's own
-    # recall ceiling (nprobe=5 of ~sqrt(N) cells: 0.58 on this fixture)
-    # times residual-PQ shortlist quality — measured 0.54/0.52 at
-    # sf0.001/0.01; 0.45 pins the composition working without
-    # over-fitting the fixture.
+    # recall ceiling times residual-PQ shortlist quality — measured
+    # 0.60/0.70 at sf0.001/0.01 on the linear coarse level (the flat
+    # √N coarse level measured 0.54/0.52); 0.45 pins the composition
+    # working without over-fitting the fixture.
     from task_mapreduce_spark.operators.training_pipeline import _PQ_TOP_K
     from task_mapreduce_spark.tables import load
 
