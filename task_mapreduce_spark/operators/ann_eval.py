@@ -21,9 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from task_mapreduce_spark.operators.ivfpq import sim_search_ivfpq
 from task_mapreduce_spark.operators.llm_extras import (
     sim_search_ann,
     sim_search_ivf,
+    sim_search_ivf_hier,
 )
 from task_mapreduce_spark.operators.llm_pipeline import sim_search_topk
 from task_mapreduce_spark.operators.training_pipeline import (
@@ -31,6 +33,7 @@ from task_mapreduce_spark.operators.training_pipeline import (
     _PQ_TOP_K,
     _pq_d2,
     sim_search_pq,
+    sim_search_pq_const,
 )
 from task_mapreduce_spark.registry import ORACLES, register
 from task_mapreduce_spark.tables import load
@@ -146,6 +149,143 @@ def sim_eval_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             sim_search_pq(spark, sf_dir).select(
                 F.lit("pq").alias("arm"), "query_id", "vec_id"
+            )
+        )
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ex.join(ap, ["arm", "query_id", "vec_id"], "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "arm",
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _recall_deploy_oracle() -> str:
+    # the DEPLOYMENT arms' scoreboard (round-12 verdict #1): the three
+    # linear-regime configurations a 100× deployment actually runs —
+    # constant-cell two-level IVF (cosine-ranked), constant-codebook PQ
+    # and the composed IVFADC (both L2-ranked) — each embedded as its
+    # registered SQL verbatim, scored against the same exact ground
+    # truths the legacy scoreboard uses
+    topk_sql = ORACLES["sim_search_topk"]
+    hier_sql = ORACLES["sim_search_ivf_hier"]
+    pqc_sql = ORACLES["sim_search_pq_const"]
+    ivfpq_sql = ORACLES["sim_search_ivfpq"]
+    return f"""
+    WITH exact_cos AS (SELECT query_id, vec_id FROM ({topk_sql})),
+    hier_k AS (SELECT query_id, vec_id FROM ({hier_sql})),
+    pqc_k AS (SELECT query_id, vec_id FROM ({pqc_sql})),
+    ivfpq_k AS (SELECT query_id, vec_id FROM ({ivfpq_sql})),
+    e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2
+           WHERE vec_id < {_PQ_N_QUERIES}),
+    exact_l2 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q2.query_id, e2.vec_id,
+               row_number() OVER (PARTITION BY q2.query_id
+                 ORDER BY round(list_sum(list_transform(
+                            range(1, len(e2.v) + 1),
+                            i -> (e2.v[i] - q2.qv[i])
+                                 * (e2.v[i] - q2.qv[i]))), 6),
+                          e2.vec_id) AS rk
+        FROM e2 CROSS JOIN q2
+        WHERE e2.vec_id <> q2.query_id
+      ) WHERE rk <= {_PQ_TOP_K}
+    ),
+    ex AS (
+      SELECT 'ivf_hier' AS arm, query_id, vec_id FROM exact_cos
+      UNION ALL SELECT 'pq_const', query_id, vec_id FROM exact_l2
+      UNION ALL SELECT 'ivfpq', query_id, vec_id FROM exact_l2
+    ),
+    ap AS (
+      SELECT 'ivf_hier' AS arm, query_id, vec_id FROM hier_k
+      UNION ALL SELECT 'pq_const', query_id, vec_id FROM pqc_k
+      UNION ALL SELECT 'ivfpq', query_id, vec_id FROM ivfpq_k
+    )
+    SELECT ex.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(ap.vec_id) AS DOUBLE) / COUNT(*), 6)
+             AS recall_at_k
+    FROM ex LEFT JOIN ap
+      ON ex.arm = ap.arm AND ex.query_id = ap.query_id
+         AND ex.vec_id = ap.vec_id
+    GROUP BY ex.arm
+    """
+
+
+@register("sim_eval_recall_deploy", oracle=_recall_deploy_oracle())
+def sim_eval_recall_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the three DEPLOYMENT ANN arms — the linear-regime
+    configurations a 100× deployment actually serves (round-12 verdict
+    #1: these were value-certified as operators but their serving
+    metric — the number an operator tunes the index against — was
+    oracle-checked only for the legacy √N arms):
+
+    - ``ivf_hier`` — constant-cell two-level IVF
+      (sim_search_ivf_hier), cosine-ranked, scored against
+      sim_search_topk's exact cosine ground truth;
+    - ``pq_const`` — constant-codebook PQ (sim_search_pq_const),
+      L2-ranked, scored against the exact L2 top-k;
+    - ``ivfpq`` — the composed IVFADC (sim_search_ivfpq, hier coarse
+      level + residual PQ), L2-ranked, same exact-L2 ground truth.
+
+    Every arm IS the registered operator and the oracle embeds each
+    arm's registered SQL verbatim (the sim_eval_recall_multi
+    scoreboard convention — the eval can never drift from what
+    ships).  The exact-L2 ground truth is built ONCE and fanned to
+    both L2 arms with an in-row explode of a 2-literal array (safe
+    Generate: constant non-empty array); everything beyond the arms
+    is metadata-sized (k·|queries| rows per arm, null-skipping COUNT
+    over the left join, 3 output rows)."""
+    exact_cos = sim_search_topk(spark, sf_dir).select(
+        F.lit("ivf_hier").alias("arm"), "query_id", "vec_id"
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact_l2 = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _pq_d2("v", "qv").alias("d"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _PQ_TOP_K)
+        .select(
+            F.explode(F.array(F.lit("pq_const"), F.lit("ivfpq"))).alias(
+                "arm"
+            ),
+            "query_id",
+            "vec_id",
+        )
+    )
+    ex = exact_cos.unionByName(exact_l2)
+    ap = (
+        sim_search_ivf_hier(spark, sf_dir)
+        .select(F.lit("ivf_hier").alias("arm"), "query_id", "vec_id")
+        .unionByName(
+            sim_search_pq_const(spark, sf_dir).select(
+                F.lit("pq_const").alias("arm"), "query_id", "vec_id"
+            )
+        )
+        .unionByName(
+            sim_search_ivfpq(spark, sf_dir).select(
+                F.lit("ivfpq").alias("arm"), "query_id", "vec_id"
             )
         )
         .withColumn("hit", F.lit(1))

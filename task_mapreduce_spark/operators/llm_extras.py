@@ -1713,12 +1713,16 @@ def _super_structs(cents: DataFrame):
     derivation shared by the two-level ASSIGN (per Lloyd round, inside
     :func:`_ivf_cells`) and the two-level PROBE (final cents,
     :func:`_hier_probes`), so build and serve can never disagree on
-    the super grouping.  Returns ``(n_cents, supers, cent_sup)``:
+    the super grouping.  Returns ``(params, supers, cent_sup)``:
 
-    - ``n_cents`` — the centroid count (one metadata-sized action;
-      callers reuse it for g / nprobe derivations);
+    - ``params`` — a 1-row frame ``(g, np)``: super-group width
+      g = ceil(√nlist) and size-scaled probe width
+      np = max(_IVF_NPROBE, ceil(√nlist)), derived IN-PLAN (a lazy
+      1-row aggregate — the oracle's ``g{r}``/``npp`` scalar-subquery
+      shape).  A driver-side count() here was two blocking metadata
+      jobs per arm on a path whose local cost is pure job scheduling;
     - ``supers(sid, sv)`` — every g-th centroid in portable-hash rank
-      order, g = ceil(√n_cents); the rule is ``(rk − 1) % g == 0``,
+      order; the rule is ``(rk − 1) % g == 0``,
       which keeps rank 1 for EVERY g including the g = 1 degenerate
       (`rk % g == 1` selected NOTHING at g = 1 and silently emptied
       every assignment — caught by review, round 12; regression-pinned
@@ -1728,16 +1732,30 @@ def _super_structs(cents: DataFrame):
       nlist×√nlist ranking stream carries SCALARS only (cid, ds, sid);
       the centroid vector re-joins AFTER the argmax from the cents
       frame (the CLAUDE.md wide-stream discipline — the previous form
-      dragged cv through every pair row via F.first in the agg)."""
-    n_cents = cents.count()  # metadata-sized (nlist rows)
-    g = int(math.ceil(math.sqrt(max(1, n_cents))))
+      dragged cv through every pair row via F.first in the agg).
+
+    Memoized on the centroid frame object: within one key the FINAL
+    assign round and the probe path call this on the SAME checkpointed
+    cents frame, and the structures are deterministic functions of it
+    — caching saves one supers checkpoint + the cent→super argmax per
+    consumer (job scheduling dominates this path at sf0.1, where nlist
+    is tiny)."""
+    cached = getattr(cents, "_super_structs_cache", None)
+    if cached is not None:
+        return cached
+    sq = F.ceil(F.sqrt(F.greatest(F.lit(1), F.col("n")))).cast("long")
+    params = cents.agg(F.count(F.lit(1)).alias("n")).select(
+        sq.alias("g"),
+        F.greatest(F.lit(_IVF_NPROBE).cast("long"), sq).alias("np"),
+    )
     hcid = F.conv(
         F.substring(F.md5(F.col("cid").cast("string")), 1, 12), 16, 10
     ).cast("long")
     wr = Window.orderBy(hcid.asc(), F.col("cid").asc())
     supers = (
         cents.withColumn("rk", F.row_number().over(wr))
-        .filter(((F.col("rk") - 1) % g) == 0)
+        .crossJoin(F.broadcast(params))
+        .filter(((F.col("rk") - 1) % F.col("g")) == 0)
         .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"))
         .localCheckpoint()  # broadcast to ≥2 consumers
     )
@@ -1753,7 +1771,12 @@ def _super_structs(cents: DataFrame):
         )
     )
     cent_sup = cents.join(slim, "cid")
-    return n_cents, supers, cent_sup
+    out = (params, supers, cent_sup)
+    try:
+        cents._super_structs_cache = out
+    except AttributeError:  # defensive: frame types that forbid attrs
+        pass
+    return out
 
 
 def _ivf_cells(
@@ -2244,8 +2267,7 @@ def _hier_probes(
     (sim_search_ivfpq derives the query's cell-relative residual from
     it); the plain-IVF consumers leave it off and Catalyst prunes the
     column below the ranking window."""
-    n_cents, supers, cent_sup = _super_structs(cents)
-    nprobe = max(_IVF_NPROBE, int(math.ceil(math.sqrt(max(1, n_cents)))))
+    params, supers, cent_sup = _super_structs(cents)
     q = e.filter(F.col("vec_id") < _ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -2276,7 +2298,8 @@ def _hier_probes(
             F.col("cv").alias("ccv"),
         )
         .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= nprobe)
+        .crossJoin(F.broadcast(params))
+        .filter(F.col("rn") <= F.col("np"))
         .select(*out_cols)
     )
 

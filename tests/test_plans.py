@@ -170,6 +170,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         #                         (the IVF coarse level's broadcasts)
         "sim_eval_recall",      # embeds sim_search_topk's broadcast-probe arm
         "sim_eval_recall_multi",  # embeds topk/ann/ivf/pq arms + 5-probe L2 scan
+        "sim_eval_recall_deploy",  # embeds hier/pq_const/ivfpq arms verbatim
+        #                            + topk + 5-probe exact-L2 ground truth
         "dedup_eval_prf",       # 1-row subset-violation-count crossJoin
         "quality_eval_report",  # embeds quality_perplexity's 1-row
         #                         corpus-token-count crossJoin verbatim
@@ -604,10 +606,10 @@ _BROADCAST_HINT_BUDGET = {
     # two-level assign: supers subtree embedded twice (cent_sup + v_sup
     # consumers) + cent_sup + probe-ranking cents + probe cells; earlier
     # assign rounds are checkpoint-truncated out of the analyzed tree
-    "sim_search_ivf_hier": (7, "assign supers ×2 + cent-groups + seed params"
+    "sim_search_ivf_hier": (8, "assign supers ×2 + cent-groups + seed params"
                                " + probe supers + |q|·S qsup + probes"
-                               " (two-level probe, round 13 — measured"
-                               " tree count)"),
+                               " + in-plan (g, np) params (two-level probe,"
+                               " round 13 — measured tree count)"),
     # manifest partition-selection joins (|partitions| rows = calendar-
     # bounded metadata) ×2 snapshot versions + the two 1-row audit frames
     "sink_merge_upsert": (4, "manifest prune joins ×2 versions + 1-row audits"),
@@ -619,6 +621,12 @@ _BROADCAST_HINT_BUDGET = {
     "sim_eval_recall_multi": (24, "sum of the embedded arms' own budgets"
                                   " (topk + ann + ivf + pq, each verbatim)"
                                   " + the |q|-row exact-L2 probe broadcast"),
+    # deployment-arm scoreboard (round 13): hier + pq_const + ivfpq
+    # embedded verbatim (each key's own budgeted hints, minus the
+    # subtrees their checkpoints truncate) + topk's probe broadcast +
+    # the |q|-row exact-L2 probe — measured 18 on the analyzed tree
+    "sim_eval_recall_deploy": (18, "sum of hier/pq_const/ivfpq budgets"
+                                   " + topk probe + |q|-row L2 probe"),
     "pipeline_retrieval_e2e": (3, "1-row query vector + bm25 stats"),
     "embedding_pq": (3, "M·√N-row codebook broadcast per assign (seed +"
                         " 1 Lloyd re-assign; params hidden by checkpoints)"),
