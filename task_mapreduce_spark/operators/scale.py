@@ -783,3 +783,197 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audit = ops.crossJoin(F.broadcast(manstats))
     return rollup.crossJoin(F.broadcast(audit))
+
+
+# ---------------------------------------------------------------------------
+# sink_merge_history — a three-commit MERGE chain with TIME-TRAVEL
+# read-back of every version (round-12 verdict #6)
+# ---------------------------------------------------------------------------
+
+_MERGE_CUTOFF_B = "2000-07-01"  # second batch window: [B_CUTOFF, B_END)
+_MERGE_END_B = "2001-05-01"     # — overlaps batch A's (>= 2001-01) without
+#                                 nesting it, so manifest v3 carries some
+#                                 partitions at ver 2 (2001-05..08: A
+#                                 touched, B didn't), some at ver 3, some
+#                                 still at ver 1 — the cross-generation
+#                                 indirection the time-travel pytest pins
+
+
+def _merge_batch_b(spark, sf_dir: str) -> DataFrame:
+    """The SECOND change batch of the history chain.  Ops come from md5
+    chars 25-32 — independent of base membership (chars 1-12) AND of
+    batch A's update/delete coin (chars 13-24), per the CLAUDE.md
+    composed-hash-rule discipline (three rules on one key, three
+    disjoint digest slices).  The window overlaps batch A's, so the
+    chain exercises every cross-commit interaction: B updates rows A
+    inserted, RESURRECTS keys A deleted (op 'I' on a tombstoned key —
+    the upsert semantic a CDC replay produces), re-deletes, and
+    overwrites A's updates last-write-wins."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("p"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderdate").alias("od"),
+    )
+    h3 = F.conv(
+        F.substring(F.md5(F.col("k").cast("string")), 25, 12), 16, 10
+    ).cast("long")
+    return o.filter(
+        (F.col("od") >= F.lit(_MERGE_CUTOFF_B).cast("timestamp"))
+        & (F.col("od") < F.lit(_MERGE_END_B).cast("timestamp"))
+    ).select(
+        "k",
+        "p",
+        F.when(h3 % 3 == 0, F.lit("U"))
+        .when(h3 % 3 == 1, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.when(h3 % 3 == 0, F.col("val") + F.lit(2.0))
+        .when(h3 % 3 == 2, F.col("val"))
+        .alias("bval"),
+    )
+
+
+@register(
+    "sink_merge_history",
+    # the oracle recomputes every snapshot FROM SCRATCH (two sequential
+    # SQL merges, no partition/version bookkeeping), so the CoW chain —
+    # three data versions, three manifests, carried-by-reference
+    # partitions resolving through TWO generations — must reproduce all
+    # three historical tables exactly
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             strftime(o_orderdate, '%Y-%m') AS p,
+             o_totalprice AS val,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
+             o_orderdate AS od
+      FROM orders
+    ),
+    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
+    batch_a AS (
+      SELECT k, p,
+             CASE WHEN h1 % 10 = 0 THEN 'I'
+                  WHEN h2 % 2 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN h1 % 10 = 0 THEN val
+                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
+    ),
+    m2 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    batch_b AS (
+      SELECT k, p,
+             CASE WHEN h3 % 3 = 0 THEN 'U'
+                  WHEN h3 % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             CASE WHEN h3 % 3 = 0 THEN val + 2.0
+                  WHEN h3 % 3 = 2 THEN val END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
+               AND od < TIMESTAMP '{_MERGE_END_B}'
+    ),
+    m3 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    )
+    SELECT ver, p, n_rows, sum_val, min_k, max_k FROM (
+      SELECT 1 AS ver, p, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {sql_dsum("val")} AS sum_val,
+             CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      FROM base GROUP BY p
+      UNION ALL
+      SELECT 2, p, CAST(COUNT(*) AS BIGINT), {sql_dsum("val")},
+             CAST(MIN(k) AS BIGINT), CAST(MAX(k) AS BIGINT)
+      FROM m2 GROUP BY p
+      UNION ALL
+      SELECT 3, p, CAST(COUNT(*) AS BIGINT), {sql_dsum("val")},
+             CAST(MIN(k) AS BIGINT), CAST(MAX(k) AS BIGINT)
+      FROM m3 GROUP BY p
+    )
+    """,
+)
+def sink_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-commit MERGE chain + TIME TRAVEL — the remaining lakehouse
+    semantic after sink_merge_upsert's single commit (round-12 verdict
+    #6): commit base (v1), batch A (v2 — the upsert key's CDC batch),
+    then batch B (v3 — a wider overlapping window whose ops come from a
+    third independent digest slice), and read back ALL THREE manifest
+    versions as consistent historical tables, certified per (version,
+    partition): row count, exact-decimal value sum, min/max key.
+
+    What the chain proves that one commit can't:
+
+    - **carried-by-reference across generations** — a partition batch A
+      touched but batch B didn't resolves through manifest v3 to DATA
+      version 2 (not 3, not 1): version resolution is per-partition
+      indirection, not a linear scan of newest-first dirs;
+    - **tombstone lifecycle** — B resurrects keys A deleted (op 'I' on
+      a tombstoned key), re-deletes others, and overwrites A's updates
+      last-write-wins; the oracle's two sequential from-scratch merges
+      must agree per partition;
+    - **time travel** — manifest vN is a complete, immutable snapshot
+      descriptor: reading v1/v2 AFTER v3 committed returns the
+      historical tables bit-exactly (data files are never rewritten,
+      only superseded in newer manifests — the concurrent-reader pytest
+      pins v2 unchanged across the v3 commit).
+
+    100 TB shape: identical to sink_merge_upsert per commit (cost ∝
+    |batch| + touched-partition rows; manifests are |partitions|-row
+    metadata); history adds ZERO write amplification (old versions are
+    retained files, the Delta/Iceberg retention model) and time-travel
+    reads are ordinary DPP-pruned snapshot reads against an old
+    manifest."""
+    base, batch_a = _merge_base_batch(spark, sf_dir)
+    batch_a = batch_a.localCheckpoint()
+    batch_b = _merge_batch_b(spark, sf_dir).localCheckpoint()
+
+    store = _work_dir("merge_history")
+    base.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+        f"{store}/data/v1"
+    )
+    base.select("p").distinct().withColumn(
+        "ver", F.lit(1).cast("int")
+    ).write.mode("overwrite").parquet(f"{store}/manifest/v1")
+
+    man1 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v1")
+    _merge_apply(spark, store, man1, [1], batch_a, 2)
+    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v2")
+    _merge_apply(spark, store, man2, [1, 2], batch_b, 3)
+    man3 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v3")
+
+    # ---- time travel: certify each manifest version's table ----
+    outs = []
+    for ver, man, vers in (
+        (1, man1, [1]),
+        (2, man2, [1, 2]),
+        (3, man3, [1, 2, 3]),
+    ):
+        snap = _merge_read_snapshot(spark, store, man, vers)
+        outs.append(
+            snap.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("val").alias("sum_val"),
+                F.min("k").cast("bigint").alias("min_k"),
+                F.max("k").cast("bigint").alias("max_k"),
+            )
+            .select(
+                F.lit(ver).cast("int").alias("ver"),
+                "p",
+                "n_rows",
+                "sum_val",
+                "min_k",
+                "max_k",
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])

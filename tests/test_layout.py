@@ -150,3 +150,84 @@ def test_merge_upsert_retry_is_idempotent(spark, sf_dir):
     carried = {(r["p"], r["ver"]) for r in man3.filter(F.col("ver") != 3).collect()}
     prior = {(r["p"], r["ver"]) for r in man2.collect() if r["p"] not in batch_parts}
     assert carried == prior
+
+
+def test_merge_history_time_travel_and_concurrent_reader(spark, sf_dir):
+    # the lakehouse semantics sink_merge_history's docstring claims:
+    # (1) SNAPSHOT ISOLATION — a reader that resolved manifest v2
+    # before the v3 commit reads the IDENTICAL table after it (data
+    # files are immutable; commits only add); (2) tombstone lifecycle —
+    # batch B resurrects at least one key batch A deleted, with B's
+    # value; (3) per-partition version indirection — manifest v3 maps
+    # some partition to data version 2 (carried across a generation).
+    from task_mapreduce_spark.operators.relational import _work_dir
+    from task_mapreduce_spark.operators.scale import (
+        _MANIFEST_SCHEMA,
+        _merge_base_batch,
+        _merge_batch_b,
+        _merge_read_snapshot,
+        sink_merge_history,
+    )
+
+    # drive the chain; capture the v2 snapshot BETWEEN the two commits
+    # by re-reading manifest v2 afterwards (files are immutable, so
+    # "before v3" and "after v3" reads must agree — that equality IS
+    # the concurrent-reader guarantee)
+    sink_merge_history(spark, sf_dir).collect()
+    store = _work_dir("merge_history")
+    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v2")
+    man3 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v3")
+    snap2 = {
+        (r["k"], r["p"]): r["val"]
+        for r in _merge_read_snapshot(spark, store, man2, [1, 2]).collect()
+    }
+    snap3 = {
+        (r["k"], r["p"]): r["val"]
+        for r in _merge_read_snapshot(spark, store, man3, [1, 2, 3]).collect()
+    }
+    assert snap2, "empty v2 snapshot — fixture drift?"
+
+    # (3) per-partition indirection across a generation: v3's manifest
+    # must carry at least one partition at data version 2 and at least
+    # one still at version 1 (batch B's window is wider than A's but
+    # neither covers the full calendar)
+    vers_by_part = {r["p"]: r["ver"] for r in man3.collect()}
+    assert 2 in set(vers_by_part.values())
+    assert 1 in set(vers_by_part.values())
+    assert 3 in set(vers_by_part.values())
+
+    # (2) resurrection: keys A deleted (in base, h2%2==1, od>=cutoff A)
+    # that B re-inserted (h3%3==2) are ABSENT in v2, present in v3
+    # with B's value (the original o_totalprice)
+    batch_a = {r["k"]: r for r in _merge_base_batch(spark, sf_dir)[1].collect()}
+    batch_b = {r["k"]: r for r in _merge_batch_b(spark, sf_dir).collect()}
+    resurrected = [
+        k
+        for k, ra in batch_a.items()
+        if ra["op"] == "D"
+        and k in batch_b
+        and batch_b[k]["op"] == "I"
+    ]
+    assert resurrected, "fixture produced no delete->reinsert key"
+    for k in resurrected[:20]:
+        p = batch_b[k]["p"]
+        assert (k, p) not in snap2, "tombstoned key visible in v2"
+        assert snap3.get((k, p)) == batch_b[k]["bval"], (
+            "resurrected key missing or wrong value in v3"
+        )
+
+    # (1) the v2 snapshot read after the v3 commit equals the oracle's
+    # from-scratch merge of (base, batch A) — i.e. the v3 commit did
+    # not mutate v2's files.  Recompute base+A in-process.
+    base = {
+        (r["k"], r["p"]): r["val"]
+        for r in _merge_base_batch(spark, sf_dir)[0].collect()
+    }
+    expect2 = dict(base)
+    for k, rb in batch_a.items():
+        key = (k, rb["p"])
+        if rb["op"] == "D":
+            expect2.pop(key, None)
+        else:
+            expect2[key] = rb["bval"]
+    assert snap2 == expect2, "v2 snapshot drifted after the v3 commit"

@@ -613,6 +613,9 @@ _BROADCAST_HINT_BUDGET = {
     # manifest partition-selection joins (|partitions| rows = calendar-
     # bounded metadata) ×2 snapshot versions + the two 1-row audit frames
     "sink_merge_upsert": (4, "manifest prune joins ×2 versions + 1-row audits"),
+    # time-travel chain: the returned frame unions THREE snapshot reads
+    # whose manifest prune joins broadcast 1+2+3 per-version selections
+    "sink_merge_history": (6, "manifest prune joins: v1 + v2×2 + v3×3"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
