@@ -259,6 +259,20 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming form runs in tests/test_streaming.py (timing-dependent,
     rows-only).
 
+    Coverage map of the watermark SEMANTICS (round-13 note): this key
+    value-checks the LATENESS CLASSIFICATION (which rows a 10-minute
+    watermark flags, per event type, under a deterministic arrival
+    order); tests/test_streaming.py::
+    test_watermark_eviction_timing_across_three_batches pins the
+    TIMING semantics on a real 3-micro-batch run — batch-boundary
+    watermark advancement (a late row inside the delay is ADMITTED
+    because Spark consults the prior batch's watermark), append-mode
+    window finalization order, per-row EVICTION of a
+    beyond-watermark row, and no-re-emission of a closed window.
+    Still uncovered (disclosed): wall-clock trigger interaction —
+    irrelevant under the repo's availableNow/processAllAvailable
+    drains, where batch boundaries are explicit.
+
     The running max over the GLOBAL arrival order is distributed with
     the sort_global two-pass decomposition: bucket by the arrival hash
     (equal-width = equi-depth, since the key is uniform — see

@@ -615,3 +615,90 @@ def test_stream_state_evolve_restart_keeps_state_layout(spark, sf_dir):
         assert out[r["user_id"]] == (r["n"], r["tv"]), (
             f"user {r['user_id']} lost pre-restart state"
         )
+
+
+def test_watermark_eviction_timing_across_three_batches(spark, tmp_path):
+    """Round-12 verdict #7: assert WHICH rows the watermark evicts, not
+    just final values.  Three hand-built micro-batches (one file each,
+    drained with processAllAvailable between writes) drive the full
+    event-time lifecycle under a 10-minute watermark and 1-hour
+    append-mode windows:
+
+    - batch 1: 10:00 / 10:15 / 10:30  → watermark 10:20, nothing emits
+      (the 10:00 window is still open);
+    - batch 2: 10:45 (LATE but inside the batch-boundary watermark —
+      Spark consults the watermark computed from PRIOR batches, so this
+      row is ADMITTED into the open window) + 12:30 (advances the
+      watermark to 12:20, closing the 10:00 window);
+    - batch 3: 10:05 (late BEYOND the watermark — must be EVICTED:
+      the already-emitted 10:00 window must not change or re-emit)
+      + 13:30 (closes the 12:00 window).
+
+    Final emitted set: exactly {[10:00,11:00) → 4, [12:00,13:00) → 1};
+    the 13:00 window stays open (never emitted), and the 10:05 row
+    appears in NO emitted window."""
+    import datetime as dt
+
+    src = str(tmp_path / "landing")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+
+    def drop(*hhmm):
+        rows = [
+            (dt.datetime(2024, 1, 1, int(x[:2]), int(x[3:])), x) for x in hhmm
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    drop("10:00", "10:15", "10:30")  # batch 1 present before start
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.collect_set("k").alias("ks"))
+    )
+    name = f"evict_{os.getpid()}_{next(_uid)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 0, (
+            "window emitted before the watermark passed its end"
+        )
+
+        drop("10:45", "12:30")  # batch 2
+        q.processAllAvailable()
+        got2 = {
+            r["window"].start.hour: (r["cnt"], sorted(r["ks"]))
+            for r in spark.table(name).collect()
+        }
+        assert got2 == {10: (4, ["10:00", "10:15", "10:30", "10:45"])}, (
+            f"the 10:45 row must be ADMITTED (batch-boundary watermark "
+            f"was 10:20) and the 10:00 window must emit once closed: {got2}"
+        )
+
+        drop("10:05", "13:30")  # batch 3: one evicted row + one opener
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        got3 = {
+            r["window"].start.hour: (r["cnt"], sorted(r["ks"]))
+            for r in rows
+        }
+        assert got3 == {
+            10: (4, ["10:00", "10:15", "10:30", "10:45"]),
+            12: (1, ["12:30"]),
+        }, f"10:05 must be evicted, 12:00 window must close: {got3}"
+        # eviction is per-ROW provable: 10:05 appears in no emitted
+        # window, and the closed 10:00 window did not re-emit
+        assert len(rows) == 2
+        assert all("10:05" not in r["ks"] for r in rows)
+    finally:
+        q.stop()
