@@ -834,6 +834,32 @@ def _merge_batch_b(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_merge_history(spark, sf_dir: str, tag: str):
+    """Drive the three-commit chain (base → v1, batch A → v2, batch B
+    → v3) into a fresh store under ``tag`` and return
+    ``(store, man1, man2, man3)`` — shared by sink_merge_history
+    (time travel) and sink_merge_vacuum (retention) so the two keys
+    certify the SAME committed lineage."""
+    base, batch_a = _merge_base_batch(spark, sf_dir)
+    batch_a = batch_a.localCheckpoint()
+    batch_b = _merge_batch_b(spark, sf_dir).localCheckpoint()
+
+    store = _work_dir(tag)
+    base.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
+        f"{store}/data/v1"
+    )
+    base.select("p").distinct().withColumn(
+        "ver", F.lit(1).cast("int")
+    ).write.mode("overwrite").parquet(f"{store}/manifest/v1")
+
+    man1 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v1")
+    _merge_apply(spark, store, man1, [1], batch_a, 2)
+    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v2")
+    _merge_apply(spark, store, man2, [1, 2], batch_b, 3)
+    man3 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v3")
+    return store, man1, man2, man3
+
+
 @register(
     "sink_merge_history",
     # the oracle recomputes every snapshot FROM SCRATCH (two sequential
@@ -933,23 +959,9 @@ def sink_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained files, the Delta/Iceberg retention model) and time-travel
     reads are ordinary DPP-pruned snapshot reads against an old
     manifest."""
-    base, batch_a = _merge_base_batch(spark, sf_dir)
-    batch_a = batch_a.localCheckpoint()
-    batch_b = _merge_batch_b(spark, sf_dir).localCheckpoint()
-
-    store = _work_dir("merge_history")
-    base.repartition("p").write.mode("overwrite").partitionBy("p").parquet(
-        f"{store}/data/v1"
+    store, man1, man2, man3 = _build_merge_history(
+        spark, sf_dir, "merge_history"
     )
-    base.select("p").distinct().withColumn(
-        "ver", F.lit(1).cast("int")
-    ).write.mode("overwrite").parquet(f"{store}/manifest/v1")
-
-    man1 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v1")
-    _merge_apply(spark, store, man1, [1], batch_a, 2)
-    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v2")
-    _merge_apply(spark, store, man2, [1, 2], batch_b, 3)
-    man3 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v3")
 
     # ---- time travel: certify each manifest version's table ----
     outs = []
@@ -977,3 +989,173 @@ def sink_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+# ---------------------------------------------------------------------------
+# sink_merge_vacuum — retention: physically delete superseded files,
+# prove the retained snapshots still serve (completes the lakehouse
+# lifecycle: commit → history/time-travel → vacuum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_merge_vacuum",
+    # the oracle derives the EXPECTED vacuum outcome independently —
+    # deletable v1 partitions are exactly batch A's window (superseded
+    # by v2 in every retained manifest), retained v1 partitions the
+    # calendar outside it — and recomputes both retained snapshots from
+    # scratch; a vacuum that deletes a referenced directory breaks the
+    # rollups, one that deletes too few breaks the audit counts
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             strftime(o_orderdate, '%Y-%m') AS p,
+             o_totalprice AS val,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
+             o_orderdate AS od
+      FROM orders
+    ),
+    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
+    batch_a AS (
+      SELECT k, p,
+             CASE WHEN h1 % 10 = 0 THEN 'I'
+                  WHEN h2 % 2 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN h1 % 10 = 0 THEN val
+                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
+    ),
+    m2 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    batch_b AS (
+      SELECT k, p,
+             CASE WHEN h3 % 3 = 0 THEN 'U'
+                  WHEN h3 % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             CASE WHEN h3 % 3 = 0 THEN val + 2.0
+                  WHEN h3 % 3 = 2 THEN val END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
+               AND od < TIMESTAMP '{_MERGE_END_B}'
+    ),
+    m3 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    audit AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM batch_a)
+               AS parts_deleted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT p FROM base
+                EXCEPT SELECT DISTINCT p FROM batch_a))
+               AS v1_parts_retained
+    )
+    SELECT r.ver, r.p, r.n_rows, r.sum_val, a.parts_deleted,
+           a.v1_parts_retained
+    FROM (
+      SELECT 2 AS ver, p, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {sql_dsum("val")} AS sum_val
+      FROM m2 GROUP BY p
+      UNION ALL
+      SELECT 3, p, CAST(COUNT(*) AS BIGINT), {sql_dsum("val")}
+      FROM m3 GROUP BY p
+    ) r CROSS JOIN audit a
+    """,
+)
+def sink_merge_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM/retention — the lifecycle step after time travel
+    (sink_merge_history): physically delete data files no RETAINED
+    manifest references, then prove the retained snapshots still serve
+    bit-exactly from the vacuumed store.
+
+    Policy here: retain manifests {v2, v3} (expire v1 — the
+    Delta/Iceberg age-based retention decision).  A v1 partition
+    directory is deletable iff NEITHER retained manifest maps that
+    partition to data version 1; by construction that is exactly batch
+    A's window (those partitions were rewritten into v2, which both
+    retained manifests reference), while partitions only batch B
+    touched remain referenced AT v1 by manifest v2 and must survive —
+    the case a naive "delete everything under data/v1" vacuum corrupts.
+
+    Certification is from-disk on both axes: the (ver 2 | ver 3)
+    per-partition rollups are read THROUGH the vacuumed store (a
+    deleted-but-referenced directory would drop their rows), and the
+    audit columns count the deletions performed and the v1 partitions
+    STILL ON DISK after the vacuum (a fresh scan of data/v1) — both
+    recomputed independently by the oracle from the batch definitions.
+
+    Driver-side file deletion + one ≤|partitions|-row collect: vacuum
+    IS a catalog/driver operation in every lakehouse implementation —
+    the deletable list is calendar-bounded metadata (the sort_global
+    literal class, disclosed beside the repo's three other metadata
+    collects), and no DATA rows ever reach the driver.
+
+    100 TB shape: vacuum cost is |deletable files| filesystem deletes +
+    a |partitions|-row manifest anti-join — independent of table size;
+    the retained-snapshot reads are the ordinary DPP-pruned manifest
+    joins.  Retention is what bounds a CoW table's storage at 2-3× live
+    size instead of unbounded history."""
+    import os
+    import shutil
+
+    store, man1, man2, man3 = _build_merge_history(
+        spark, sf_dir, "merge_vacuum"
+    )
+
+    # deletable = v1 partitions referenced by NO retained manifest
+    referenced_v1 = (
+        man2.filter(F.col("ver") == 1)
+        .select("p")
+        .unionByName(man3.filter(F.col("ver") == 1).select("p"))
+        .distinct()
+    )
+    deletable = sorted(
+        r["p"]
+        for r in man1.select("p").join(referenced_v1, "p", "left_anti")
+        .collect()  # ≤ |partitions| rows: calendar-bounded metadata
+    )
+    deleted = 0
+    for p in deletable:
+        d = f"{store}/data/v1/p={p}"
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            deleted += 1
+
+    # retained snapshots, read from the VACUUMED store
+    outs = []
+    for ver, man, vers in ((2, man2, [1, 2]), (3, man3, [1, 2, 3])):
+        snap = _merge_read_snapshot(spark, store, man, vers)
+        outs.append(
+            snap.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("val").alias("sum_val"),
+            )
+            .select(
+                F.lit(ver).cast("int").alias("ver"), "p", "n_rows", "sum_val"
+            )
+        )
+    # audit from disk: deletions performed + v1 partitions surviving
+    survivors = (
+        spark.read.schema(_MERGE_SCHEMA)
+        .parquet(f"{store}/data/v1")
+        .agg(F.count_distinct("p").cast("bigint").alias("v1_parts_retained"))
+        .select(
+            F.lit(deleted).cast("bigint").alias("parts_deleted"),
+            "v1_parts_retained",
+        )
+    )
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .crossJoin(F.broadcast(survivors))
+    )

@@ -231,3 +231,50 @@ def test_merge_history_time_travel_and_concurrent_reader(spark, sf_dir):
         else:
             expect2[key] = rb["bval"]
     assert snap2 == expect2, "v2 snapshot drifted after the v3 commit"
+
+
+def test_merge_vacuum_deletes_only_unreferenced_v1_partitions(spark, sf_dir):
+    # the retention contract sink_merge_vacuum's docstring claims:
+    # after vacuum (retain {v2, v3}), (a) every v1 partition batch A
+    # rewrote is GONE from disk, (b) every v1 partition still referenced
+    # by a retained manifest survives — including those only batch B
+    # touched (the naive-vacuum corruption case), and (c) the expired
+    # v1 snapshot is no longer fully readable while v2 still is.
+    import os
+
+    from task_mapreduce_spark.operators.relational import _work_dir
+    from task_mapreduce_spark.operators.scale import (
+        _MANIFEST_SCHEMA,
+        _merge_base_batch,
+        _merge_read_snapshot,
+        sink_merge_vacuum,
+    )
+
+    sink_merge_vacuum(spark, sf_dir).collect()
+    store = _work_dir("merge_vacuum")
+    a_parts = {
+        r["p"]
+        for r in _merge_base_batch(spark, sf_dir)[1]
+        .select("p")
+        .distinct()
+        .collect()
+    }
+    on_disk = {
+        d.split("=", 1)[1]
+        for d in os.listdir(f"{store}/data/v1")
+        if d.startswith("p=")
+    }
+    assert not (a_parts & on_disk), "superseded v1 partition survived vacuum"
+
+    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v2")
+    ref_v1 = {r["p"] for r in man2.filter(F.col("ver") == 1).collect()}
+    assert ref_v1 <= on_disk, "vacuum deleted a partition v2 references"
+
+    # v2 still serves end-to-end from the vacuumed store
+    snap2 = _merge_read_snapshot(spark, store, man2, [1, 2])
+    assert snap2.count() > 0
+    # the expired v1 snapshot is genuinely incomplete: its manifest
+    # references partitions whose files are gone
+    man1 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v1")
+    v1_all = {r["p"] for r in man1.collect()}
+    assert v1_all - on_disk == a_parts

@@ -192,6 +192,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         #                         frame against the ≤|bins|-row histogram
         "sink_merge_upsert",    # two 1-row audit crossJoins (batch op
         #                         counts × reloaded-manifest counts)
+        "sink_merge_vacuum",    # 1-row from-disk audit crossJoin
+        #                         (deletions performed × surviving v1
+        #                         partition count)
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -616,6 +619,9 @@ _BROADCAST_HINT_BUDGET = {
     # time-travel chain: the returned frame unions THREE snapshot reads
     # whose manifest prune joins broadcast 1+2+3 per-version selections
     "sink_merge_history": (6, "manifest prune joins: v1 + v2×2 + v3×3"),
+    # retained snapshots v2 (2 versions) + v3 (3 versions) + the 1-row
+    # from-disk audit broadcast
+    "sink_merge_vacuum": (6, "manifest prune joins v2×2 + v3×3 + 1-row audit"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
