@@ -10,8 +10,6 @@ row path except the explicitly-Arrow multimodal decode.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 
