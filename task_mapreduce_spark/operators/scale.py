@@ -1159,3 +1159,201 @@ def sink_merge_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(outs[1])
         .crossJoin(F.broadcast(survivors))
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_changelog_cdf — the CHANGE DATA FEED between two manifest
+# versions: the row-level delta an incremental downstream consumer
+# reads instead of re-scanning the table (Delta CDF / Iceberg
+# changelog-scan semantics), derived by diffing ONLY the partitions
+# whose manifest version changed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_changelog_cdf",
+    # the oracle recomputes BOTH snapshots from scratch (two sequential
+    # SQL merges, no manifest bookkeeping) and diffs the FULL tables —
+    # so the Spark side's manifest-pruned diff (only changed partitions
+    # ever scanned or joined) must reproduce the complete changelog: a
+    # missed changed partition drops rows, a mis-carried partition
+    # invents spurious updates
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             strftime(o_orderdate, '%Y-%m') AS p,
+             o_totalprice AS val,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
+             o_orderdate AS od
+      FROM orders
+    ),
+    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
+    batch_a AS (
+      SELECT k, p,
+             CASE WHEN h1 % 10 = 0 THEN 'I'
+                  WHEN h2 % 2 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN h1 % 10 = 0 THEN val
+                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
+    ),
+    m2 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    batch_b AS (
+      SELECT k, p,
+             CASE WHEN h3 % 3 = 0 THEN 'U'
+                  WHEN h3 % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             CASE WHEN h3 % 3 = 0 THEN val + 2.0
+                  WHEN h3 % 3 = 2 THEN val END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
+               AND od < TIMESTAMP '{_MERGE_END_B}'
+    ),
+    m3 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    cdf AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             COALESCE(a.p, b.p) AS p,
+             CASE WHEN a.k IS NULL THEN 'insert'
+                  WHEN b.k IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             CAST(a.val AS DECIMAL(18,2)) AS pre_val,
+             CAST(b.val AS DECIMAL(18,2)) AS post_val
+      FROM m2 a FULL OUTER JOIN m3 b ON a.k = b.k
+      WHERE a.k IS NULL OR b.k IS NULL
+         OR CAST(a.val AS DECIMAL(18,2)) <> CAST(b.val AS DECIMAL(18,2))
+    ),
+    audit AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM batch_b)
+               AS parts_changed,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT p FROM base
+                UNION SELECT DISTINCT p FROM batch_a
+                EXCEPT SELECT DISTINCT p FROM batch_b))
+               AS parts_unchanged
+    )
+    SELECT c.k, c.p, c.change_type, c.pre_val, c.post_val,
+           a.parts_changed, a.parts_unchanged
+    FROM cdf c CROSS JOIN audit a
+    """,
+)
+def sink_changelog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between two committed snapshots — the row-level
+    (k, p, change_type, pre_val, post_val) delta of manifest v2 → v3,
+    i.e. what Delta's CDF / Iceberg's changelog scan hand an
+    incremental downstream consumer (a rollup maintainer, a replica,
+    an index refresher) so it never re-scans the table.
+
+    The scale claim is WHICH data gets touched: two manifests that
+    agree on a partition's version reference the SAME immutable data
+    files, so that partition provably contains zero changes.  The diff
+    therefore (1) diffs the |partitions|-row manifests first (a
+    metadata full-outer join), (2) reads the pre- and post-snapshots
+    RESTRICTED to the version-changed partitions (the ordinary
+    DPP-pruned manifest-join reads — both scans prune to batch B's
+    calendar window), and (3) full-outer-joins pre/post on the key
+    within that slice only.  A key's partition is a pure function of
+    the key (its order month), so pre/post images of one key live in
+    the same partition and the restricted join loses nothing — the
+    oracle proves exactly that by diffing both FULL from-scratch
+    snapshots.  Net-change semantics: a MERGE that rewrote a row with
+    an identical value emits no CDF row (value diff, not file diff).
+
+    The audit columns certify the pruning derivation itself:
+    parts_changed/parts_unchanged are the manifest-diff counts, which
+    the oracle recomputes independently from the batch definitions —
+    a diff that scanned a carried partition wouldn't break the
+    changelog (same files ⇒ empty diff) but WOULD break these counts
+    if it mis-derived the changed set.
+
+    Values are certified as DECIMAL(18,2) on both sides (order prices
+    are cents-exact; the CDC deltas are integral) — the fixed-scale
+    discipline every float-bearing oracle key uses.
+
+    100 TB shape: CDF cost ∝ changed-partition rows + |manifest|
+    metadata — independent of table size (a CDC commit touches the
+    calendar tail, so the diff reads days, not decades of history).
+    This is the property that makes incremental consumers viable at
+    all: the alternative — diff two full snapshots — is a 2×-table
+    scan per sync.  Composes with sink_merge_history (any two manifest
+    versions diff the same way, v1→v3 included) and sink_merge_vacuum
+    (CDF needs only RETAINED manifests' files; vacuum keeps every
+    referenced version)."""
+    store, _man1, man2, man3 = _build_merge_history(
+        spark, sf_dir, "changelog_cdf"
+    )
+
+    # (1) manifest diff — |partitions|-row metadata; a partition is
+    # changed iff its (pre, post) versions differ (incl. appearing or
+    # disappearing).  Checkpointed: the changed set is broadcast to
+    # BOTH snapshot restrictions (a broadcast subtree re-executes its
+    # child per consuming job — CLAUDE.md)
+    mdiff = man2.select(
+        "p", F.col("ver").alias("ver_pre")
+    ).join(
+        man3.select("p", F.col("ver").alias("ver_post")), "p", "full_outer"
+    )
+    changed_flag = (
+        F.col("ver_pre").isNull()
+        | F.col("ver_post").isNull()
+        | (F.col("ver_pre") != F.col("ver_post"))
+    )
+    changed = mdiff.filter(changed_flag).select("p").localCheckpoint()
+
+    # (2) snapshot reads restricted to changed partitions — the same
+    # DPP-pruned manifest-join read every snapshot consumer uses, just
+    # against a filtered manifest
+    pre = _merge_read_snapshot(
+        spark, store, man2.join(F.broadcast(changed), "p"), [1, 2]
+    ).select(
+        F.col("k"),
+        F.col("p"),
+        F.col("val").cast("decimal(18,2)").alias("pre_val"),
+    )
+    post = _merge_read_snapshot(
+        spark, store, man3.join(F.broadcast(changed), "p"), [1, 2, 3]
+    ).select(
+        F.col("k"),
+        F.col("p").alias("p_post"),
+        F.col("val").cast("decimal(18,2)").alias("post_val"),
+    )
+
+    # (3) the changelog: full-outer on the key within the changed
+    # slice; rows whose value is unchanged are NOT changes
+    cdf = (
+        pre.join(post, "k", "full_outer")
+        .filter(
+            F.col("pre_val").isNull()
+            | F.col("post_val").isNull()
+            | (F.col("pre_val") != F.col("post_val"))
+        )
+        .select(
+            "k",
+            F.coalesce("p", "p_post").alias("p"),
+            F.when(F.col("pre_val").isNull(), F.lit("insert"))
+            .when(F.col("post_val").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            "pre_val",
+            "post_val",
+        )
+    )
+    audit = mdiff.agg(
+        F.count(F.when(changed_flag, 1)).cast("bigint").alias("parts_changed"),
+        F.count(F.when(~changed_flag, 1))
+        .cast("bigint")
+        .alias("parts_unchanged"),
+    )
+    return cdf.crossJoin(F.broadcast(audit))

@@ -278,3 +278,74 @@ def test_merge_vacuum_deletes_only_unreferenced_v1_partitions(spark, sf_dir):
     man1 = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{store}/manifest/v1")
     v1_all = {r["p"] for r in man1.collect()}
     assert v1_all - on_disk == a_parts
+
+
+def test_changelog_cdf_matches_full_snapshot_diff(spark, sf_dir):
+    # the CDF contract sink_changelog_cdf's docstring claims: the
+    # manifest-pruned diff (only version-changed partitions ever joined)
+    # equals the diff of the two FULL snapshots, recomputed here
+    # in-process from the batch definitions — and the changelog carries
+    # the lifecycle interactions the history key commits (resurrection
+    # surfaces as 'insert', a B-overwrite of an A-update as 'update'
+    # with both images, a B-tombstone as 'delete').
+    from decimal import Decimal
+
+    from task_mapreduce_spark.operators.scale import (
+        _merge_base_batch,
+        _merge_batch_b,
+        sink_changelog_cdf,
+    )
+
+    got = {
+        r["k"]: (r["change_type"], r["pre_val"], r["post_val"], r["p"])
+        for r in sink_changelog_cdf(spark, sf_dir).collect()
+    }
+
+    # replay the chain in plain Python: base -> m2 (batch A) -> m3 (B)
+    base, batch_a = _merge_base_batch(spark, sf_dir)
+    m2 = {(r["k"], r["p"]): r["val"] for r in base.collect()}
+    a_rows = batch_a.collect()
+    for r in a_rows:
+        if r["op"] == "D":
+            m2.pop((r["k"], r["p"]), None)
+        else:
+            m2[(r["k"], r["p"])] = r["bval"]
+    m3 = dict(m2)
+    b_rows = _merge_batch_b(spark, sf_dir).collect()
+    for r in b_rows:
+        if r["op"] == "D":
+            m3.pop((r["k"], r["p"]), None)
+        else:
+            m3[(r["k"], r["p"])] = r["bval"]
+
+    def dec(v):
+        return None if v is None else Decimal(f"{v:.2f}")
+
+    expect = {}
+    for (k, p) in set(m2) | set(m3):
+        pre, post = dec(m2.get((k, p))), dec(m3.get((k, p)))
+        if pre == post:
+            continue
+        change = (
+            "insert" if pre is None else "delete" if post is None else "update"
+        )
+        expect[k] = (change, pre, post, p)
+    assert got == expect, "pruned CDF differs from the full-snapshot diff"
+
+    # lifecycle interactions are all represented (fixture sanity — the
+    # history test proves they exist; here they must REACH the feed)
+    a_ops = {r["k"]: r["op"] for r in a_rows}
+    b_ops = {r["k"]: r["op"] for r in b_rows}
+    kinds = {
+        (a_ops.get(k), b_ops.get(k), got[k][0])
+        for k in got
+    }
+    assert ("D", "I", "insert") in kinds, "resurrection missing from CDF"
+    assert ("U", "U", "update") in kinds, "A-update overwrite missing"
+    assert ("U", "D", "delete") in kinds, "re-delete missing from CDF"
+    # every CDF row lives in a partition batch B touched — the pruning
+    # derivation (changed = manifest-version diff) is complete
+    b_parts = {r["p"] for r in b_rows}
+    assert {v[3] for v in got.values()} <= b_parts
+    n = next(iter(got.values()), None)
+    assert n is not None, "empty changelog — fixture drift?"

@@ -195,6 +195,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "sink_merge_vacuum",    # 1-row from-disk audit crossJoin
         #                         (deletions performed × surviving v1
         #                         partition count)
+        "sink_changelog_cdf",   # 1-row manifest-diff audit crossJoin
+        #                         (changed/unchanged partition counts)
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -622,6 +624,12 @@ _BROADCAST_HINT_BUDGET = {
     # retained snapshots v2 (2 versions) + v3 (3 versions) + the 1-row
     # from-disk audit broadcast
     "sink_merge_vacuum": (6, "manifest prune joins v2×2 + v3×3 + 1-row audit"),
+    # manifest prune joins (pre ×2 + post ×3 versions) + the checkpointed
+    # changed-partition broadcast EMBEDDED once per version selection
+    # (each per-version `sel` wraps the changed-filtered manifest — the
+    # tree-count rule) + the 1-row manifest-diff audit: 5 + 5 + 1
+    "sink_changelog_cdf": (11, "manifest prunes ×5 + changed-set subtree"
+                               " ×5 + 1-row audit (measured tree count)"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
@@ -854,6 +862,19 @@ def test_sink_merge_upsert_snapshot_read_is_partition_pruned(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), (
         "snapshot read lost its dynamic-pruning subquery — carried "
         "partitions are being scanned from every data version"
+    )
+
+
+def test_sink_changelog_cdf_is_partition_pruned(spark, sf_dir):
+    # the CDF claim: pre/post snapshot reads are restricted to the
+    # version-changed partitions and the data scans prune through the
+    # manifest join — lose the pruning subquery and the diff re-reads
+    # the whole table from both snapshots (the 2×-table-scan cost the
+    # key exists to avoid)
+    plan = plan_of(spark, sf_dir, "sink_changelog_cdf", mode="formatted")
+    assert "dynamicpruning" in plan.lower(), (
+        "changelog snapshot reads lost their dynamic-pruning subquery — "
+        "the diff is scanning unchanged partitions"
     )
 
 
