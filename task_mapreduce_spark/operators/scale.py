@@ -1294,16 +1294,28 @@ def sink_changelog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, _man1, man2, man3 = _build_merge_history(
         spark, sf_dir, "changelog_cdf"
     )
+    cdf, audit = _changelog(spark, store, man2, [1, 2], man3, [1, 2, 3])
+    return cdf.crossJoin(F.broadcast(audit))
 
+
+def _changelog(spark, store, man_pre, vers_pre, man_post, vers_post):
+    """The manifest-pruned changelog between two snapshots — shared by
+    the feed itself (:func:`sink_changelog_cdf`) and its consumer
+    (:func:`rollup_cdf_maintain`) so producer and consumer can never
+    disagree on change semantics.  Returns ``(cdf, audit)``: the
+    (k, p, change_type, pre_val, post_val) feed and the 1-row
+    manifest-diff partition counts."""
     # (1) manifest diff — |partitions|-row metadata; a partition is
     # changed iff its (pre, post) versions differ (incl. appearing or
     # disappearing).  Checkpointed: the changed set is broadcast to
     # BOTH snapshot restrictions (a broadcast subtree re-executes its
     # child per consuming job — CLAUDE.md)
-    mdiff = man2.select(
+    mdiff = man_pre.select(
         "p", F.col("ver").alias("ver_pre")
     ).join(
-        man3.select("p", F.col("ver").alias("ver_post")), "p", "full_outer"
+        man_post.select("p", F.col("ver").alias("ver_post")),
+        "p",
+        "full_outer",
     )
     changed_flag = (
         F.col("ver_pre").isNull()
@@ -1316,14 +1328,14 @@ def sink_changelog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DPP-pruned manifest-join read every snapshot consumer uses, just
     # against a filtered manifest
     pre = _merge_read_snapshot(
-        spark, store, man2.join(F.broadcast(changed), "p"), [1, 2]
+        spark, store, man_pre.join(F.broadcast(changed), "p"), vers_pre
     ).select(
         F.col("k"),
         F.col("p"),
         F.col("val").cast("decimal(18,2)").alias("pre_val"),
     )
     post = _merge_read_snapshot(
-        spark, store, man3.join(F.broadcast(changed), "p"), [1, 2, 3]
+        spark, store, man_post.join(F.broadcast(changed), "p"), vers_post
     ).select(
         F.col("k"),
         F.col("p").alias("p_post"),
@@ -1356,4 +1368,181 @@ def sink_changelog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("parts_unchanged"),
     )
-    return cdf.crossJoin(F.broadcast(audit))
+    return cdf, audit
+
+
+# ---------------------------------------------------------------------------
+# rollup_cdf_maintain — incremental view maintenance THROUGH the change
+# feed: keep a materialized aggregate fresh under updates and deletes
+# (retractions), the case append-only maintenance (incremental_rollup)
+# cannot express
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_cdf_maintain",
+    # the oracle computes the post-commit rollup FROM SCRATCH over the
+    # full v3 table; the Spark side must reproduce it by arithmetic on
+    # the v2 materialization + the change feed alone — a dropped
+    # retraction, a double-counted insert, or any decimal-state drift
+    # breaks a partition row, and the feed-consumption counts are
+    # re-derived independently from the full-table diff
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             strftime(o_orderdate, '%Y-%m') AS p,
+             o_totalprice AS val,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
+             o_orderdate AS od
+      FROM orders
+    ),
+    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
+    batch_a AS (
+      SELECT k, p,
+             CASE WHEN h1 % 10 = 0 THEN 'I'
+                  WHEN h2 % 2 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN h1 % 10 = 0 THEN val
+                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
+    ),
+    m2 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    batch_b AS (
+      SELECT k, p,
+             CASE WHEN h3 % 3 = 0 THEN 'U'
+                  WHEN h3 % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             CASE WHEN h3 % 3 = 0 THEN val + 2.0
+                  WHEN h3 % 3 = 2 THEN val END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
+               AND od < TIMESTAMP '{_MERGE_END_B}'
+    ),
+    m3 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    cdf AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             COALESCE(a.p, b.p) AS p,
+             CASE WHEN a.k IS NULL THEN 'insert'
+                  WHEN b.k IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type
+      FROM m2 a FULL OUTER JOIN m3 b ON a.k = b.k
+      WHERE a.k IS NULL OR b.k IS NULL
+         OR CAST(a.val AS DECIMAL(18,2)) <> CAST(b.val AS DECIMAL(18,2))
+    ),
+    feed AS (
+      SELECT CAST(COUNT(CASE WHEN change_type = 'insert' THEN 1 END) AS BIGINT) AS n_ins,
+             CAST(COUNT(CASE WHEN change_type = 'delete' THEN 1 END) AS BIGINT) AS n_del,
+             CAST(COUNT(CASE WHEN change_type = 'update' THEN 1 END) AS BIGINT) AS n_upd
+      FROM cdf
+    )
+    SELECT r.p, r.n_rows, r.sum_val, f.n_ins, f.n_del, f.n_upd
+    FROM (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_rows, {sql_dsum("val")} AS sum_val
+      FROM m3 GROUP BY p
+    ) r CROSS JOIN feed f
+    """,
+)
+def rollup_cdf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance through the change feed: a
+    materialized per-partition aggregate (row count + exact-decimal
+    value sum over the v2 snapshot) is brought to the v3 state by
+    CONSUMING :func:`_changelog` — inserts add, deletes retract,
+    updates retract the pre-image and add the post-image — and the
+    result must equal the from-scratch v3 rollup bit-exactly.
+
+    This is the case append-only maintenance (`incremental_rollup`)
+    cannot express: count and a fixed-scale decimal sum are
+    SELF-MAINTAINABLE under retraction (each delta is +1/−1 and
+    ±value; decimal addition is exact and commutative, so
+    state + Σdeltas ≡ recompute in ANY application order), which is
+    why every materialized-view engine maintains them from the CDC
+    stream instead of re-scanning — non-self-maintainable aggregates
+    (MIN/MAX under deletes) are what force a changed-partition rescan,
+    and the feed's partition column is exactly what bounds that rescan
+    when it happens.
+
+    The maintenance arithmetic stays DECIMAL until the final cast
+    (matching `dsum`'s state): a double-state rollup would drift from
+    the recompute at the ulp level and the oracle would catch it.
+    Partitions whose rows are all deleted leave the view (n_rows = 0
+    filtered — a from-scratch GROUP BY emits no row for them); new
+    insert-only partitions enter via the full-outer merge.
+
+    100 TB shape: maintenance cost is |feed| rows + a |partitions|-row
+    state merge — ∝ CHANGED data, independent of table size; the v2
+    materialization is carried state a deployment already holds (here
+    it is recomputed once because every key is self-contained).  The
+    alternative — recompute the view per sync — is a full-table scan
+    each time.  Composes with sink_changelog_cdf (the producer) and
+    sink_merge_history (any manifest pair)."""
+    store, _man1, man2, man3 = _build_merge_history(
+        spark, sf_dir, "rollup_cdf"
+    )
+    cdf, _audit = _changelog(spark, store, man2, [1, 2], man3, [1, 2, 3])
+    # two consumers (delta aggregate + feed-count audit): checkpoint the
+    # feed once — |changed rows|, the working set a CDC consumer holds
+    cdf = cdf.localCheckpoint()
+
+    # the materialized v2 state — decimal sum state, NOT double
+    # (double state would drift from the from-scratch recompute)
+    old = (
+        _merge_read_snapshot(spark, store, man2, [1, 2])
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_old"),
+            F.sum(F.col("val").cast("decimal(24,4)")).alias("sum_old"),
+        )
+    )
+    # consume the feed: per-partition row and value deltas
+    delta = cdf.groupBy("p").agg(
+        (
+            F.count(F.col("post_val")) - F.count(F.col("pre_val"))
+        ).cast("bigint").alias("d_rows"),
+        F.sum(
+            F.coalesce(F.col("post_val"), F.lit(0).cast("decimal(18,2)"))
+            - F.coalesce(F.col("pre_val"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("d_sum"),
+    )
+    maintained = (
+        old.join(delta, "p", "full_outer")
+        .select(
+            "p",
+            (
+                F.coalesce("n_rows_old", F.lit(0))
+                + F.coalesce("d_rows", F.lit(0))
+            ).cast("bigint").alias("n_rows"),
+            (
+                F.coalesce(F.col("sum_old"), F.lit(0).cast("decimal(24,4)"))
+                + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(24,4)"))
+            )
+            .cast("decimal(24,4)")
+            .cast("double")
+            .alias("sum_val"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    feed = cdf.agg(
+        F.count(F.when(F.col("change_type") == "insert", 1))
+        .cast("bigint")
+        .alias("n_ins"),
+        F.count(F.when(F.col("change_type") == "delete", 1))
+        .cast("bigint")
+        .alias("n_del"),
+        F.count(F.when(F.col("change_type") == "update", 1))
+        .cast("bigint")
+        .alias("n_upd"),
+    )
+    return maintained.crossJoin(F.broadcast(feed))

@@ -349,3 +349,81 @@ def test_changelog_cdf_matches_full_snapshot_diff(spark, sf_dir):
     assert {v[3] for v in got.values()} <= b_parts
     n = next(iter(got.values()), None)
     assert n is not None, "empty changelog — fixture drift?"
+
+
+def test_rollup_cdf_maintain_is_order_independent(spark, sf_dir):
+    # the self-maintainability claim rollup_cdf_maintain's docstring
+    # makes: count + fixed-scale decimal sum maintained from the feed
+    # equal the from-scratch recompute in ANY feed application order.
+    # The oracle proves maintained == scratch for the one order Spark
+    # ran; here we replay the maintenance in exact Decimal arithmetic,
+    # split the feed into halves applied in BOTH orders, and require
+    # all three results identical — the property that lets a real
+    # consumer apply CDC shards concurrently per key.
+    from decimal import Decimal
+
+    from task_mapreduce_spark.operators.scale import (
+        _merge_base_batch,
+        _merge_batch_b,
+        rollup_cdf_maintain,
+    )
+
+    got = {
+        r["p"]: (r["n_rows"], r["sum_val"])
+        for r in rollup_cdf_maintain(spark, sf_dir).collect()
+    }
+    assert got, "empty maintained rollup — fixture drift?"
+
+    # rebuild v2 state and the feed in plain Python (Decimal-exact)
+    base, batch_a = _merge_base_batch(spark, sf_dir)
+    m2 = {(r["k"], r["p"]): r["val"] for r in base.collect()}
+    for r in batch_a.collect():
+        if r["op"] == "D":
+            m2.pop((r["k"], r["p"]), None)
+        else:
+            m2[(r["k"], r["p"])] = r["bval"]
+    m3 = dict(m2)
+    for r in _merge_batch_b(spark, sf_dir).collect():
+        if r["op"] == "D":
+            m3.pop((r["k"], r["p"]), None)
+        else:
+            m3[(r["k"], r["p"])] = r["bval"]
+
+    def dec(v):
+        return Decimal(f"{v:.2f}")
+
+    feed = []
+    for (k, p) in set(m2) | set(m3):
+        pre = dec(m2[(k, p)]) if (k, p) in m2 else None
+        post = dec(m3[(k, p)]) if (k, p) in m3 else None
+        if pre != post:
+            feed.append((k, p, pre, post))
+
+    def apply_feed(state, rows):
+        out = dict(state)
+        for _k, p, pre, post in rows:
+            n, s = out.get(p, (0, Decimal(0)))
+            n += (post is not None) - (pre is not None)
+            s += (post or Decimal(0)) - (pre or Decimal(0))
+            out[p] = (n, s)
+        return {p: v for p, v in out.items() if v[0] > 0}
+
+    state2 = {}
+    for (k, p), v in m2.items():
+        n, s = state2.get(p, (0, Decimal(0)))
+        state2[p] = (n + 1, s + dec(v))
+
+    lo = [f for f in feed if f[0] % 2 == 0]
+    hi = [f for f in feed if f[0] % 2 == 1]
+    one_shot = apply_feed(state2, feed)
+    lo_first = apply_feed(apply_feed(state2, lo), hi)
+    hi_first = apply_feed(apply_feed(state2, hi), lo)
+    assert one_shot == lo_first == hi_first, "maintenance is order-dependent"
+
+    # and the Spark-maintained view equals the replay (counts exact,
+    # sums equal after the same decimal→double conversion)
+    assert set(got) == set(one_shot)
+    for p, (n, s) in one_shot.items():
+        gn, gs = got[p]
+        assert gn == n, f"{p}: maintained count {gn} != replay {n}"
+        assert gs == float(s), f"{p}: maintained sum {gs} != replay {s}"

@@ -197,6 +197,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         #                         partition count)
         "sink_changelog_cdf",   # 1-row manifest-diff audit crossJoin
         #                         (changed/unchanged partition counts)
+        "rollup_cdf_maintain",  # 1-row feed-consumption-count crossJoin
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -630,6 +631,11 @@ _BROADCAST_HINT_BUDGET = {
     # tree-count rule) + the 1-row manifest-diff audit: 5 + 5 + 1
     "sink_changelog_cdf": (11, "manifest prunes ×5 + changed-set subtree"
                                " ×5 + 1-row audit (measured tree count)"),
+    # the checkpointed feed truncates the changelog subtree's hints out
+    # of the analyzed tree: v2-materialization prune joins ×2 + the
+    # 1-row feed-count audit
+    "rollup_cdf_maintain": (3, "v2 rollup manifest prunes ×2 + 1-row"
+                               " feed audit (feed subtree checkpointed)"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),
