@@ -507,6 +507,73 @@ _MERGE_CUTOFF = "2001-01-01"   # the change batch: late-window orders
 _MERGE_SCHEMA = "k long, val double, p string"
 _MANIFEST_SCHEMA = "p string, ver int"
 
+_MERGE_CUTOFF_B = "2000-07-01"  # second batch window: [B_CUTOFF, B_END)
+_MERGE_END_B = "2001-05-01"     # — overlaps batch A's (>= 2001-01) without
+#                                 nesting it, so manifest v3 carries some
+#                                 partitions at ver 2 (2001-05..08: A
+#                                 touched, B didn't), some at ver 3, some
+#                                 still at ver 1 — the cross-generation
+#                                 indirection the time-travel pytest pins
+
+
+def _merge_chain_ctes() -> str:
+    """The merge-chain CTE block (orders → base/batch_a → m2 →
+    batch_b → m3) shared by ALL FIVE merge-family oracles — one
+    definition (the `_ivf_hier_ctes` fragment-generator convention) so
+    an edit to the chain semantics cannot leave one oracle silently
+    certifying a different chain.  Oracles that stop at m2 simply
+    don't reference batch_b/m3 (DuckDB prunes unused CTEs).
+
+    h3 takes md5 chars 25-32 — the 8 hex chars REMAINING after h1/h2
+    consumed 12+12, i.e. a 32-bit value, NOT a member of the repo's
+    48-bit portable hash family.  Plenty for batch B's 3-way op coin;
+    do not reuse it anywhere a 48-bit range is assumed (the
+    multiply-add permutation trick's product bound, for one)."""
+    return f"""o AS (
+      SELECT o_orderkey AS k,
+             strftime(o_orderdate, '%Y-%m') AS p,
+             o_totalprice AS val,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 8))::BIGINT AS h3,
+             o_orderdate AS od
+      FROM orders
+    ),
+    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
+    batch_a AS (
+      SELECT k, p,
+             CASE WHEN h1 % 10 = 0 THEN 'I'
+                  WHEN h2 % 2 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN h1 % 10 = 0 THEN val
+                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
+    ),
+    m2 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    ),
+    batch_b AS (
+      SELECT k, p,
+             CASE WHEN h3 % 3 = 0 THEN 'U'
+                  WHEN h3 % 3 = 1 THEN 'D'
+                  ELSE 'I' END AS op,
+             CASE WHEN h3 % 3 = 0 THEN val + 2.0
+                  WHEN h3 % 3 = 2 THEN val END AS bval
+      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
+               AND od < TIMESTAMP '{_MERGE_END_B}'
+    ),
+    m3 AS (
+      SELECT COALESCE(t.k, b.k) AS k,
+             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
+             COALESCE(t.p, b.p) AS p
+      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
+      WHERE b.op IS NULL OR b.op <> 'D'
+    )"""
+
 
 def _merge_read_snapshot(spark, store: str, man: DataFrame, vers) -> DataFrame:
     """Read a manifest-defined snapshot: for each data VERSION the
@@ -646,50 +713,25 @@ def _merge_base_batch(spark, sf_dir: str):
     # CoW route — rewrite affected partitions, carry the rest by
     # manifest reference, reload both — must reproduce it exactly
     oracle=f"""
-    WITH o AS (
-      SELECT o_orderkey AS k,
-             strftime(o_orderdate, '%Y-%m') AS p,
-             o_totalprice AS val,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
-             o_orderdate AS od
-      FROM orders
-    ),
-    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
-    batch AS (
-      SELECT k, p,
-             CASE WHEN h1 % 10 = 0 THEN 'I'
-                  WHEN h2 % 2 = 0 THEN 'U'
-                  ELSE 'D' END AS op,
-             CASE WHEN h1 % 10 = 0 THEN val
-                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
-    ),
-    merged AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM base t FULL OUTER JOIN batch b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
+    WITH {_merge_chain_ctes()},
     rollup AS (
       SELECT p, CAST(COUNT(*) AS BIGINT) AS n_rows,
              {sql_dsum("val")} AS sum_val,
              CAST(MIN(k) AS BIGINT) AS min_k,
              CAST(MAX(k) AS BIGINT) AS max_k
-      FROM merged GROUP BY p
+      FROM m2 GROUP BY p
     ),
     audit AS (
       SELECT CAST(COUNT(CASE WHEN op = 'I' THEN 1 END) AS BIGINT) AS n_ins,
              CAST(COUNT(CASE WHEN op = 'U' THEN 1 END) AS BIGINT) AS n_upd,
              CAST(COUNT(CASE WHEN op = 'D' THEN 1 END) AS BIGINT) AS n_del,
              CAST(COUNT(DISTINCT p) AS BIGINT) AS parts_rewritten
-      FROM batch
+      FROM batch_a
     ),
     carried AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS parts_carried FROM (
         SELECT DISTINCT p FROM base
-        EXCEPT SELECT DISTINCT p FROM batch)
+        EXCEPT SELECT DISTINCT p FROM batch_a)
     )
     SELECT r.p, r.n_rows, r.sum_val, r.min_k, r.max_k,
            a.n_ins, a.n_upd, a.n_del, a.parts_rewritten, c.parts_carried
@@ -790,25 +832,18 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read-back of every version (round-12 verdict #6)
 # ---------------------------------------------------------------------------
 
-_MERGE_CUTOFF_B = "2000-07-01"  # second batch window: [B_CUTOFF, B_END)
-_MERGE_END_B = "2001-05-01"     # — overlaps batch A's (>= 2001-01) without
-#                                 nesting it, so manifest v3 carries some
-#                                 partitions at ver 2 (2001-05..08: A
-#                                 touched, B didn't), some at ver 3, some
-#                                 still at ver 1 — the cross-generation
-#                                 indirection the time-travel pytest pins
-
-
 def _merge_batch_b(spark, sf_dir: str) -> DataFrame:
     """The SECOND change batch of the history chain.  Ops come from md5
-    chars 25-32 — independent of base membership (chars 1-12) AND of
-    batch A's update/delete coin (chars 13-24), per the CLAUDE.md
-    composed-hash-rule discipline (three rules on one key, three
-    disjoint digest slices).  The window overlaps batch A's, so the
-    chain exercises every cross-commit interaction: B updates rows A
-    inserted, RESURRECTS keys A deleted (op 'I' on a tombstoned key —
-    the upsert semantic a CDC replay produces), re-deletes, and
-    overwrites A's updates last-write-wins."""
+    chars 25-32 (the 8 hex chars left after h1/h2's 12+12 — a 32-bit
+    coin, see :func:`_merge_chain_ctes`) — independent of base
+    membership (chars 1-12) AND of batch A's update/delete coin
+    (chars 13-24), per the CLAUDE.md composed-hash-rule discipline
+    (three rules on one key, three disjoint digest slices).  The
+    window overlaps batch A's, so the chain exercises every
+    cross-commit interaction: B updates rows A inserted, RESURRECTS
+    keys A deleted (op 'I' on a tombstoned key — the upsert semantic a
+    CDC replay produces), re-deletes, and overwrites A's updates
+    last-write-wins."""
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.date_format("o_orderdate", "yyyy-MM").alias("p"),
@@ -816,7 +851,7 @@ def _merge_batch_b(spark, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("od"),
     )
     h3 = F.conv(
-        F.substring(F.md5(F.col("k").cast("string")), 25, 12), 16, 10
+        F.substring(F.md5(F.col("k").cast("string")), 25, 8), 16, 10
     ).cast("long")
     return o.filter(
         (F.col("od") >= F.lit(_MERGE_CUTOFF_B).cast("timestamp"))
@@ -868,50 +903,7 @@ def _build_merge_history(spark, sf_dir: str, tag: str):
     # partitions resolving through TWO generations — must reproduce all
     # three historical tables exactly
     oracle=f"""
-    WITH o AS (
-      SELECT o_orderkey AS k,
-             strftime(o_orderdate, '%Y-%m') AS p,
-             o_totalprice AS val,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
-             o_orderdate AS od
-      FROM orders
-    ),
-    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
-    batch_a AS (
-      SELECT k, p,
-             CASE WHEN h1 % 10 = 0 THEN 'I'
-                  WHEN h2 % 2 = 0 THEN 'U'
-                  ELSE 'D' END AS op,
-             CASE WHEN h1 % 10 = 0 THEN val
-                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
-    ),
-    m2 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
-    batch_b AS (
-      SELECT k, p,
-             CASE WHEN h3 % 3 = 0 THEN 'U'
-                  WHEN h3 % 3 = 1 THEN 'D'
-                  ELSE 'I' END AS op,
-             CASE WHEN h3 % 3 = 0 THEN val + 2.0
-                  WHEN h3 % 3 = 2 THEN val END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
-               AND od < TIMESTAMP '{_MERGE_END_B}'
-    ),
-    m3 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    )
+    WITH {_merge_chain_ctes()}
     SELECT ver, p, n_rows, sum_val, min_k, max_k FROM (
       SELECT 1 AS ver, p, CAST(COUNT(*) AS BIGINT) AS n_rows,
              {sql_dsum("val")} AS sum_val,
@@ -1007,52 +999,16 @@ def sink_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scratch; a vacuum that deletes a referenced directory breaks the
     # rollups, one that deletes too few breaks the audit counts
     oracle=f"""
-    WITH o AS (
-      SELECT o_orderkey AS k,
-             strftime(o_orderdate, '%Y-%m') AS p,
-             o_totalprice AS val,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
-             o_orderdate AS od
-      FROM orders
-    ),
-    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
-    batch_a AS (
-      SELECT k, p,
-             CASE WHEN h1 % 10 = 0 THEN 'I'
-                  WHEN h2 % 2 = 0 THEN 'U'
-                  ELSE 'D' END AS op,
-             CASE WHEN h1 % 10 = 0 THEN val
-                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
-    ),
-    m2 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
-    batch_b AS (
-      SELECT k, p,
-             CASE WHEN h3 % 3 = 0 THEN 'U'
-                  WHEN h3 % 3 = 1 THEN 'D'
-                  ELSE 'I' END AS op,
-             CASE WHEN h3 % 3 = 0 THEN val + 2.0
-                  WHEN h3 % 3 = 2 THEN val END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
-               AND od < TIMESTAMP '{_MERGE_END_B}'
-    ),
-    m3 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
+    WITH {_merge_chain_ctes()},
     audit AS (
-      SELECT (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM batch_a)
+      -- deletable = batch A's partitions THAT EXIST IN v1: a batch-A
+      -- partition containing only insert-slice keys is never in
+      -- base/man1, so the Spark side has nothing to delete for it
+      -- (round-13 review: COUNT(DISTINCT p) FROM batch_a alone would
+      -- overcount on a hostile fixture rewrite)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT p FROM batch_a
+                INTERSECT SELECT DISTINCT p FROM base))
                AS parts_deleted,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM (
                 SELECT DISTINCT p FROM base
@@ -1179,50 +1135,7 @@ def sink_merge_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # missed changed partition drops rows, a mis-carried partition
     # invents spurious updates
     oracle=f"""
-    WITH o AS (
-      SELECT o_orderkey AS k,
-             strftime(o_orderdate, '%Y-%m') AS p,
-             o_totalprice AS val,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
-             o_orderdate AS od
-      FROM orders
-    ),
-    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
-    batch_a AS (
-      SELECT k, p,
-             CASE WHEN h1 % 10 = 0 THEN 'I'
-                  WHEN h2 % 2 = 0 THEN 'U'
-                  ELSE 'D' END AS op,
-             CASE WHEN h1 % 10 = 0 THEN val
-                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
-    ),
-    m2 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
-    batch_b AS (
-      SELECT k, p,
-             CASE WHEN h3 % 3 = 0 THEN 'U'
-                  WHEN h3 % 3 = 1 THEN 'D'
-                  ELSE 'I' END AS op,
-             CASE WHEN h3 % 3 = 0 THEN val + 2.0
-                  WHEN h3 % 3 = 2 THEN val END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
-               AND od < TIMESTAMP '{_MERGE_END_B}'
-    ),
-    m3 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
+    WITH {_merge_chain_ctes()},
     cdf AS (
       SELECT COALESCE(a.k, b.k) AS k,
              COALESCE(a.p, b.p) AS p,
@@ -1388,50 +1301,7 @@ def _changelog(spark, store, man_pre, vers_pre, man_post, vers_post):
     # breaks a partition row, and the feed-consumption counts are
     # re-derived independently from the full-table diff
     oracle=f"""
-    WITH o AS (
-      SELECT o_orderkey AS k,
-             strftime(o_orderdate, '%Y-%m') AS p,
-             o_totalprice AS val,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h1,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 12))::BIGINT AS h2,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 12))::BIGINT AS h3,
-             o_orderdate AS od
-      FROM orders
-    ),
-    base AS (SELECT k, val, p FROM o WHERE h1 % 10 <> 0),
-    batch_a AS (
-      SELECT k, p,
-             CASE WHEN h1 % 10 = 0 THEN 'I'
-                  WHEN h2 % 2 = 0 THEN 'U'
-                  ELSE 'D' END AS op,
-             CASE WHEN h1 % 10 = 0 THEN val
-                  WHEN h2 % 2 = 0 THEN val + 1.0 END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF}'
-    ),
-    m2 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM base t FULL OUTER JOIN batch_a b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
-    batch_b AS (
-      SELECT k, p,
-             CASE WHEN h3 % 3 = 0 THEN 'U'
-                  WHEN h3 % 3 = 1 THEN 'D'
-                  ELSE 'I' END AS op,
-             CASE WHEN h3 % 3 = 0 THEN val + 2.0
-                  WHEN h3 % 3 = 2 THEN val END AS bval
-      FROM o WHERE od >= TIMESTAMP '{_MERGE_CUTOFF_B}'
-               AND od < TIMESTAMP '{_MERGE_END_B}'
-    ),
-    m3 AS (
-      SELECT COALESCE(t.k, b.k) AS k,
-             CASE WHEN b.op IN ('U', 'I') THEN b.bval ELSE t.val END AS val,
-             COALESCE(t.p, b.p) AS p
-      FROM m2 t FULL OUTER JOIN batch_b b ON t.k = b.k
-      WHERE b.op IS NULL OR b.op <> 'D'
-    ),
+    WITH {_merge_chain_ctes()},
     cdf AS (
       SELECT COALESCE(a.k, b.k) AS k,
              COALESCE(a.p, b.p) AS p,

@@ -322,7 +322,7 @@ def test_ivf_hier_recall_vs_exact(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
-def test_ivf_hier_recall_holds_across_a_decade(spark, tmp_path):
+def test_ivf_hier_recall_holds_across_a_decade(spark, sf_dir, tmp_path):
     """The round-12 verdict's #3: with a FIXED nprobe the constant-cell
     regime's recall decayed 0.86 → 0.68 across one ×10 step (nprobe 5
     of a 10×-larger cell count probes a shrinking corpus fraction).
@@ -335,7 +335,7 @@ def test_ivf_hier_recall_holds_across_a_decade(spark, tmp_path):
     from pyspark.sql import functions as F
 
     x10 = str(tmp_path / "x10")
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.agg(F.max("vec_id") + 1).collect()[0][0]
     reps = spark.range(10).select(F.col("id").alias("rep"))
     (
