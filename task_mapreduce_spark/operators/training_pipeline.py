@@ -1219,6 +1219,207 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# profile_drift_psi — dataset drift monitoring between two corpus
+# slices (Population Stability Index per feature)
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUTOFF = "2024-01-20 00:00:00"  # reference = before, current = after
+_DRIFT_BINS = 10
+
+
+@register(
+    "profile_drift_psi",
+    # the oracle replays the whole metric: slice split, reference
+    # min/max, equal-width binning with edge clamping, Laplace
+    # smoothing, the ln term (rounded — the one transcendental), and
+    # the exact-decimal per-feature total
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value,
+             (ts >= TIMESTAMP '{_DRIFT_CUTOFF}') AS cur
+      FROM events
+    ),
+    st AS (
+      SELECT MIN(CASE WHEN NOT cur THEN value END) AS mn,
+             MAX(CASE WHEN NOT cur THEN value END) AS mx,
+             COUNT(CASE WHEN NOT cur THEN 1 END) AS nref,
+             COUNT(CASE WHEN cur THEN 1 END) AS ncur
+      FROM e WHERE value IS NOT NULL
+    ),
+    cat_b AS (SELECT COUNT(DISTINCT event_type) AS bcat FROM e),
+    nb AS (SELECT CAST(range AS BIGINT) AS bin FROM range({_DRIFT_BINS})),
+    numc AS (
+      SELECT CAST(LEAST({_DRIFT_BINS - 1}, GREATEST(0,
+               FLOOR((value - mn) / ((mx - mn) / {_DRIFT_BINS}))))
+             AS BIGINT) AS bin,
+             cur
+      FROM e CROSS JOIN st WHERE value IS NOT NULL
+    ),
+    num_counts AS (
+      SELECT 'value' AS feature, CAST(b.bin AS VARCHAR) AS bin,
+             CAST(COUNT(CASE WHEN n.cur = false THEN 1 END) AS BIGINT) AS n_ref,
+             CAST(COUNT(CASE WHEN n.cur = true THEN 1 END) AS BIGINT) AS n_cur,
+             CAST({_DRIFT_BINS} AS DOUBLE) AS b
+      FROM nb b LEFT JOIN numc n ON n.bin = b.bin
+      GROUP BY b.bin
+    ),
+    cat_counts AS (
+      SELECT 'event_type' AS feature, event_type AS bin,
+             CAST(COUNT(CASE WHEN NOT cur THEN 1 END) AS BIGINT) AS n_ref,
+             CAST(COUNT(CASE WHEN cur THEN 1 END) AS BIGINT) AS n_cur,
+             (SELECT CAST(bcat AS DOUBLE) FROM cat_b) AS b
+      FROM e GROUP BY event_type
+    ),
+    terms AS (
+      SELECT feature, bin, n_ref, n_cur,
+             ROUND((  (n_cur + 0.5) / (st.ncur + 0.5 * b)
+                    - (n_ref + 0.5) / (st.nref + 0.5 * b))
+                   * ln(((n_cur + 0.5) / (st.ncur + 0.5 * b))
+                        / ((n_ref + 0.5) / (st.nref + 0.5 * b))),
+                   6) AS psi_term
+      FROM (SELECT * FROM num_counts UNION ALL SELECT * FROM cat_counts)
+      CROSS JOIN st
+    )
+    SELECT feature, bin, n_ref, n_cur, psi_term,
+           CAST(SUM(CAST(psi_term AS DECIMAL(18,6)))
+                  OVER (PARTITION BY feature) AS DOUBLE) AS psi_total
+    FROM terms
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift monitor: the Population Stability Index of each
+    feature between a REFERENCE slice and a CURRENT slice of the event
+    stream (time split at a fixed cutoff — the shape of every
+    training-vs-serving or week-over-week drift check).  PSI =
+    Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref) — the standard
+    monitoring metric (credit-scoring lineage; <0.1 stable, >0.25
+    drifted) a 100 TB pipeline computes per ingest batch to catch
+    upstream distribution shifts before they poison training data.
+
+    Two features, two bin designs: numeric `value` gets ten
+    EQUAL-WIDTH bins over the reference slice's exact
+    min/max (quantile bins would be `approx_percentile` — whose
+    partial-merge order is NOT reproducible across jobs/engines, the
+    CLAUDE.md sketch trap; exact min/max are portable, and
+    current-slice outliers clamp into the edge bins, which is where
+    range drift SHOULD show up); categorical `event_type` bins are the
+    observed categories.  Laplace smoothing (+0.5 per bin) keeps empty
+    bins finite — the standard PSI fix, applied identically in both
+    engines.
+
+    Float discipline: counts and bin ids are integer-exact; the
+    smoothed proportions are IEEE divisions of exact integers
+    (deterministic); `ln` is the ONE transcendental and is rounded to
+    6 on both sides; the per-feature total sums the ROUNDED terms as
+    DECIMAL(18,6) (order-independent exact addition) and converts to
+    double once.
+
+    Plan shape: two word-count-shaped aggregates (one per feature) on
+    one scan + three 1-row metadata broadcasts (reference min/max +
+    slice totals; the distinct-category count is a SEPARATE aggregate
+    crossJoined in — mixing an exact count-distinct into the stats
+    agg would force Expand to 2-plicate the scan, the
+    profile_columns lesson).  No shuffle carries more than
+    |bins| + |categories| rows past the two partial aggs; at 100 TB
+    the metric costs one pass over the batch."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("ts") >= F.lit(_DRIFT_CUTOFF).cast("timestamp_ntz")).alias(
+            "cur"
+        ),
+    )
+    ev = e.filter(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.min(F.when(~F.col("cur"), F.col("value"))).alias("mn"),
+        F.max(F.when(~F.col("cur"), F.col("value"))).alias("mx"),
+        F.count(F.when(~F.col("cur"), 1)).alias("nref"),
+        F.count(F.when(F.col("cur"), 1)).alias("ncur"),
+    )
+    # distinct-category count: its OWN aggregate (never beside plain
+    # aggs — the Expand trap), crossJoined as a 1-row broadcast
+    cat_b = e.agg(
+        F.count_distinct("event_type").cast("double").alias("bcat")
+    )
+
+    width = (F.col("mx") - F.col("mn")) / F.lit(_DRIFT_BINS)
+    numc = ev.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(_DRIFT_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - F.col("mn")) / width),
+            ),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "cur",
+    )
+    bins = spark.range(_DRIFT_BINS).select(F.col("id").alias("bin"))
+    num_counts = (
+        F.broadcast(bins)
+        .join(numc, "bin", "left_outer")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("cur") == False, 1))  # noqa: E712
+            .cast("bigint")
+            .alias("n_ref"),
+            F.count(F.when(F.col("cur") == True, 1))  # noqa: E712
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+        .select(
+            F.lit("value").alias("feature"),
+            F.col("bin").cast("string").alias("bin"),
+            "n_ref",
+            "n_cur",
+            F.lit(float(_DRIFT_BINS)).alias("b"),
+        )
+    )
+    cat_counts = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.when(~F.col("cur"), 1)).cast("bigint").alias("n_ref"),
+            F.count(F.when(F.col("cur"), 1)).cast("bigint").alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(cat_b))
+        .select(
+            F.lit("event_type").alias("feature"),
+            F.col("event_type").alias("bin"),
+            "n_ref",
+            "n_cur",
+            F.col("bcat").alias("b"),
+        )
+    )
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("ncur") + 0.5 * F.col("b"))
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("nref") + 0.5 * F.col("b"))
+    terms = (
+        num_counts.unionByName(cat_counts)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "feature",
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+    )
+    return terms.select(
+        "feature",
+        "bin",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.sum(F.col("psi_term").cast("decimal(18,6)"))
+        .over(Window.partitionBy("feature"))
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series delta encoding (hypertable compression primitive)
 # ---------------------------------------------------------------------------
 

@@ -198,6 +198,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "sink_changelog_cdf",   # 1-row manifest-diff audit crossJoin
         #                         (changed/unchanged partition counts)
         "rollup_cdf_maintain",  # 1-row feed-consumption-count crossJoin
+        "profile_drift_psi",    # 1-row ref-stats / category-count
+        #                         crossJoins (metadata broadcasts)
     }
     for key in sorted(set(QUERIES) - {"stream_source"}):
         plan = plan_of(spark, sf_dir, key, mode="simple")
@@ -636,6 +638,10 @@ _BROADCAST_HINT_BUDGET = {
     # 1-row feed-count audit
     "rollup_cdf_maintain": (3, "v2 rollup manifest prunes ×2 + 1-row"
                                " feed audit (feed subtree checkpointed)"),
+    # 1-row reference stats broadcast to binning + terms (tree count 2)
+    # + the 10-row bin frame + the 1-row category-count aggregate
+    "profile_drift_psi": (4, "1-row ref stats ×2 consumers + 10-row bin"
+                             " frame + 1-row category count"),
     "sim_join_knn": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_embedding": (1, "byte-gated cell build side (_cell_join_sides)"),
     "dedup_semantic": (1, "√N centroid rows (shares sim_search_ivf's)"),

@@ -711,3 +711,55 @@ def test_sim_search_ivfpq_recall_and_invariants(spark, sf_dir):
         rec += len(got & set(exact)) / _PQ_TOP_K
     rec /= len(by_q)
     assert rec >= 0.45, rec
+
+
+def test_drift_psi_detects_planted_shift(spark, tmp_path):
+    # the metric's one job: a shifted numeric distribution scores PSI
+    # well past the 0.25 "drifted" threshold while an unchanged
+    # categorical stays under 0.05 — plus a pure-Python replay of the
+    # exact formula (smoothing, rounded ln terms, decimal total)
+    # against the operator's own per-bin counts.
+    import math
+    from datetime import datetime, timezone
+    from decimal import Decimal
+
+    t_ref = datetime(2024, 1, 10, tzinfo=timezone.utc).timestamp()
+    t_cur = datetime(2024, 1, 25, tzinfo=timezone.utc).timestamp()
+    types = ["click", "error", "purchase", "signup", "view"]
+    data = []
+    for i in range(200):  # reference: value uniform 0..9
+        data.append(
+            (i, int(t_ref * 1e9), i % 7, types[i % 5], float(i % 10), "{}")
+        )
+    for i in range(200):  # current: value shifted into 5.0..9.5
+        data.append(
+            (1000 + i, int(t_cur * 1e9), i % 7, types[i % 5],
+             5.0 + (i % 10) / 2.0, "{}")
+        )
+    spark.createDataFrame(data, _EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+
+    rows = QUERIES["profile_drift_psi"](spark, str(tmp_path)).collect()
+    by_feat = {}
+    for r in rows:
+        by_feat.setdefault(r["feature"], []).append(r)
+    assert len(by_feat["value"]) == 10       # all bins, empties included
+    assert len(by_feat["event_type"]) == 5
+    psi = {f: rs[0]["psi_total"] for f, rs in by_feat.items()}
+    assert psi["value"] > 0.25, f"planted shift not flagged: {psi}"
+    assert psi["event_type"] < 0.05, f"stable feature flagged: {psi}"
+
+    # replay the formula from the operator's own counts
+    for feat, rs in by_feat.items():
+        b = float(len(rs))
+        nref = sum(r["n_ref"] for r in rs)
+        ncur = sum(r["n_cur"] for r in rs)
+        total = Decimal(0)
+        for r in rs:
+            p_ref = (r["n_ref"] + 0.5) / (nref + 0.5 * b)
+            p_cur = (r["n_cur"] + 0.5) / (ncur + 0.5 * b)
+            term = round((p_cur - p_ref) * math.log(p_cur / p_ref), 6)
+            assert abs(term - r["psi_term"]) < 2e-6, (feat, r["bin"])
+            total += Decimal(f"{r['psi_term']:.6f}")
+        assert abs(float(total) - rs[0]["psi_total"]) < 1e-9, feat
