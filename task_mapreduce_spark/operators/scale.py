@@ -587,20 +587,38 @@ def _merge_read_snapshot(spark, store: str, man: DataFrame, vers) -> DataFrame:
     no driver-side manifest collect.  Coverage is ASSERTED, not assumed
     (round-12 advice): a call site handing a stale list would silently
     lose every partition whose manifest version is absent from it (the
-    inner join just filters them out), so any uncovered manifest row
-    raises before a data row is read — one metadata-sized count over
-    the |partitions|-row manifest."""
-    uncovered = man.filter(
-        ~F.col("ver").isin([int(v) for v in vers])
-    ).count()
-    if uncovered:
-        raise ValueError(
-            f"snapshot read covers versions {sorted(int(v) for v in vers)} "
-            f"but the manifest references {uncovered} partition(s) outside "
-            "them — stale version list at the call site"
+    inner join just filters them out).  The assert is INLINE as of the
+    round-13 optimization pass: uncovered manifest rows become
+    raise_error poison rows unioned into the returned frame, so a stale
+    list still fails loudly at the first action over the snapshot, but
+    a COVERED read pays zero extra jobs — the previous driver-side
+    ``count()`` was one blocking metadata job per call, 2-5 jobs per
+    merge-family key on a per-job-overhead-bound host (raise_error is
+    non-foldable, so the optimizer cannot evaluate it at plan time;
+    with zero uncovered rows the branch contributes nothing but a
+    |partitions|-row manifest scan inside the consuming job)."""
+    vlist = sorted(int(v) for v in vers)
+    alarm = F.raise_error(
+        F.concat(
+            F.lit(
+                f"snapshot read covers versions {vlist} but the "
+                "manifest references partition "
+            ),
+            F.col("p"),
+            F.lit(" at version "),
+            F.col("ver").cast("string"),
+            F.lit(" outside them — stale version list at the call site"),
         )
-    parts = []
-    for v in vers:
+    )
+    # every column raises, so the guard survives column pruning — a
+    # consumer that projects any subset of (k, val, p) still trips it
+    poison = man.filter(~F.col("ver").isin(vlist)).select(
+        alarm.cast("long").alias("k"),
+        alarm.cast("double").alias("val"),
+        alarm.cast("string").alias("p"),
+    )
+    parts = [poison]
+    for v in vlist:
         data = spark.read.schema(_MERGE_SCHEMA).parquet(f"{store}/data/v{v}")
         sel = man.filter(F.col("ver") == int(v)).select("p")
         parts.append(data.join(F.broadcast(sel), "p").select("k", "val", "p"))

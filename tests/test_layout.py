@@ -427,3 +427,36 @@ def test_rollup_cdf_maintain_is_order_independent(spark, sf_dir):
         gn, gs = got[p]
         assert gn == n, f"{p}: maintained count {gn} != replay {n}"
         assert gs == float(s), f"{p}: maintained sum {gs} != replay {s}"
+
+
+def test_merge_snapshot_stale_version_list_raises(spark, sf_dir):
+    # round-13 optimization regression pin: the coverage assert moved
+    # from a driver-side count() (one blocking metadata job per
+    # snapshot read) to raise_error POISON ROWS unioned into the frame
+    # — a stale static version list must still fail LOUDLY at the
+    # first action, including under column pruning (every poison
+    # column raises, so a consumer projecting any subset trips it).
+    import pytest
+
+    from task_mapreduce_spark.operators.relational import _work_dir
+    from task_mapreduce_spark.operators.scale import (
+        _MANIFEST_SCHEMA,
+        _merge_read_snapshot,
+        sink_merge_upsert,
+    )
+
+    sink_merge_upsert(spark, sf_dir).collect()  # builds the v1/v2 store
+    store = _work_dir("merge_upsert")
+    man2 = spark.read.schema(_MANIFEST_SCHEMA).parquet(
+        f"{store}/manifest/v2"
+    )
+    # man2 references versions {1, 2}; claim only {1} covers it
+    stale = _merge_read_snapshot(spark, store, man2, [1])
+    with pytest.raises(Exception, match="stale version list"):
+        stale.collect()
+    with pytest.raises(Exception, match="stale version list"):
+        # pruned-column consumer (only p survives the projection)
+        stale.groupBy("p").count().collect()
+    # and the covered read still serves values with no poison rows
+    ok = _merge_read_snapshot(spark, store, man2, [1, 2])
+    assert ok.count() > 0
