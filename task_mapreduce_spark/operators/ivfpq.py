@@ -293,6 +293,10 @@ def sim_search_ivfpq(
         .select(F.col("vec_id").alias("cid"), F.col("rv").alias("cv"))
     )
     dsub_c = F.expr(f"size(cv) div {_PQ_M}")
+    # lazy like _pq_slices' seed codebook: ONE consumer (the Lloyd
+    # assign's broadcast), and the derivation is a narrow slice over
+    # the checkpointed res — an eager checkpoint here was one extra
+    # job with nothing multi-consumer to protect (round-13 pass)
     cs = (
         seed_res.select("cid", "cv", sub_ids)
         .select(
@@ -300,7 +304,6 @@ def sim_search_ivfpq(
             "sub",
             F.slice("cv", F.col("sub") * dsub_c + 1, dsub_c).alias("csl"),
         )
-        .localCheckpoint()
     )
 
     # one exact-decimal Lloyd round over the residual slices (the
@@ -345,7 +348,11 @@ def sim_search_ivfpq(
             "cell",
             F.zip_with("qv", "ccv", lambda a, b: a - b).alias("qrv"),
         )
-        .localCheckpoint()  # |q|·nprobe rows; broadcast below
+        # lazy (round-13 pass): consumed ONCE, by the dt broadcast —
+        # the subtree executes exactly once inside that broadcast
+        # build, so the eager checkpoint bought nothing but its own
+        # job.  The HOF-collapse exposure is bounded: the 8-way slice
+        # below re-evaluates zip_with on |q|·nprobe (~10²) rows only.
     )
     dsub_q = F.expr(f"size(qrv) div {_PQ_M}")
     qsl = probes.select("query_id", "cell", "qrv", sub_ids).select(
