@@ -630,9 +630,14 @@ _BROADCAST_HINT_BUDGET = {
     # manifest prune joins (pre ×2 + post ×3 versions) + the checkpointed
     # changed-partition broadcast EMBEDDED once per version selection
     # (each per-version `sel` wraps the changed-filtered manifest — the
-    # tree-count rule) + the 1-row manifest-diff audit: 5 + 5 + 1
-    "sink_changelog_cdf": (11, "manifest prunes ×5 + changed-set subtree"
-                               " ×5 + 1-row audit (measured tree count)"),
+    # tree-count rule) + the 1-row manifest-diff audit: 5 + 5 + 1,
+    # plus 2 after the round-13 inline coverage guard: each snapshot
+    # read's POISON branch filters the same changed-pruned manifest, so
+    # the |partitions|-row changed-set hint appears once more per read
+    # (pre + post) — bounded metadata, same subtree
+    "sink_changelog_cdf": (13, "manifest prunes ×5 + changed-set subtree"
+                               " ×5 + 1-row audit + coverage-poison"
+                               " manifest ×2 (measured tree count)"),
     # the checkpointed feed truncates the changelog subtree's hints out
     # of the analyzed tree: v2-materialization prune joins ×2 + the
     # 1-row feed-count audit
@@ -653,9 +658,17 @@ _BROADCAST_HINT_BUDGET = {
     # deployment-arm scoreboard (round 13): hier + pq_const + ivfpq
     # embedded verbatim (each key's own budgeted hints, minus the
     # subtrees their checkpoints truncate) + topk's probe broadcast +
-    # the |q|-row exact-L2 probe — measured 18 on the analyzed tree
-    "sim_eval_recall_deploy": (18, "sum of hier/pq_const/ivfpq budgets"
-                                   " + topk probe + |q|-row L2 probe"),
+    # the |q|-row exact-L2 probe.  Measured 18 at the build round;
+    # 22 after the round-13 OPTIMIZATION pass dropped ivfpq's two
+    # single-consumer checkpoints — the probe-ranking subtree's
+    # bounded hints (√nlist supers, |q|·S qsup, 1-row params, 1-row
+    # stride) are now LIVE in the analyzed tree instead of truncated
+    # (the CLAUDE.md tree-count convention: same calls, more visible
+    # nodes)
+    "sim_eval_recall_deploy": (22, "sum of hier/pq_const/ivfpq budgets"
+                                   " + topk probe + |q|-row L2 probe;"
+                                   " +4 live bounded probe-side hints"
+                                   " after the r13 checkpoint drops"),
     "pipeline_retrieval_e2e": (3, "1-row query vector + bm25 stats"),
     "embedding_pq": (3, "M·√N-row codebook broadcast per assign (seed +"
                         " 1 Lloyd re-assign; params hidden by checkpoints)"),
@@ -664,8 +677,15 @@ _BROADCAST_HINT_BUDGET = {
     "sim_search_pq_const": (4, "encode assigns + ADC table + rerank sides"),
     # composed IVF+PQ: centroid broadcasts (res build + probe ranking) +
     # per-(query,cell) lookup tables + shortlist/query rerank sides;
-    # earlier assign rounds checkpoint-truncated — measured 4
-    "sim_search_ivfpq": (4, "cents ×2 + |q|·nprobe·M·K tables + rerank sides"),
+    # earlier assign rounds checkpoint-truncated — measured 4 at the
+    # build round, 8 after the round-13 OPTIMIZATION pass un-
+    # checkpointed the single-consumer probe and seed-codebook frames:
+    # their subtrees (√nlist supers, |q|·S qsup, 1-row probe params,
+    # 1-row stride params — every one bounded) now count as live tree
+    # nodes instead of being truncated behind the checkpoints
+    "sim_search_ivfpq": (8, "cents ×2 + |q|·nprobe·M·K tables + rerank"
+                            " sides + 4 live bounded probe/seed-side"
+                            " hints after the r13 checkpoint drops"),
     "sim_search_pq": (6, "encode arm's assigns + ADC lookup table + |q|·k'"
                          " shortlist + |q|-row query vectors (all"
                          " centroid/metadata class)"),
