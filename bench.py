@@ -24,6 +24,14 @@ full per-key map goes to ``BENCH_DETAIL.json`` beside this script
 
 Warm-up: the first query pays JVM/session start-up; we run the
 flagship once untimed first so per-key numbers reflect plan cost.
+
+Round 14 (additions-only): ``BENCH_DETAIL.json`` also carries a
+per-key scheduler-JOB count (``"jobs"``) and the summary line a total
+(``"n_jobs"``) — walls on this host class are steal-contaminated
+(round-13 calibration swung 2.3× on identical code), so the
+deterministic job count is the auditable, host-independent metric for
+per-job-overhead-bound keys.  Methodology, keys, noop sink and the
+one-line JSON contract are unchanged.
 """
 
 from __future__ import annotations
@@ -66,9 +74,17 @@ def main() -> int:
     keys = sorted(QUERIES)
     calibration: dict[str, float] = {"start": _calibrate()}
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
+    sc = spark.sparkContext
     for i, key in enumerate(keys):
         if i == len(keys) // 2:
             calibration["mid"] = _calibrate()
+        # scheduler-job census per key (round-13 verdict #2): walls on
+        # this host class are steal-contaminated, so the DETERMINISTIC
+        # job count is the auditable perf metric.  Each key runs inside
+        # its own job group; the count is read back from the status
+        # tracker right after the key (well inside spark.ui.retainedJobs).
+        sc.setJobGroup(key, key)
         t0 = time.time()
         try:
             _materialize(QUERIES[key](spark, sf_dir))
@@ -76,6 +92,8 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"BENCH ERROR {key}: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[key] = -1.0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs[key] = len(sc.statusTracker().getJobIdsForGroup(key))
     calibration["end"] = _calibrate()
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
@@ -86,6 +104,7 @@ def main() -> int:
     with open(detail_path, "w") as fh:
         json.dump({
             "queries": dict(sorted(timings.items())),
+            "jobs": dict(sorted(jobs.items())),
             "calibration": calibration,
             "metric": "total_wall",
             "value": total,
@@ -103,6 +122,7 @@ def main() -> int:
     print(json.dumps({
         "queries": slowest,
         "n_keys": len(timings),
+        "n_jobs": sum(jobs.values()),
         "n_errors": len(errors),
         "errors": errors[:5],
         "calibration": calibration,

@@ -561,6 +561,21 @@ def _portable_lsh_cand(sh: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_verify_cond(inter):
+    """J ≥ 1/2 verify predicate over joined (sh_a, sh_b) sides via
+    3·|A∩B| ≥ n_a + n_b — identical to 2·inter ≥ |A∪B| for distinct
+    shingle sets (u = n_a + n_b − inter exactly), but skips building
+    the union ARRAY per candidate pair (round-14 optimization; the
+    intersection side keeps the certificate independent of the exact
+    count-join arm).  The n ≥ 1 guards replace the union's ≥ 1 clamp:
+    a NULL-shingle degenerate pair is dropped on EVERY build (legacy
+    sizeOfNull: size = −1 fails n ≥ 1; modern: NULL comparison is
+    NULL) — the minhash_edges discipline."""
+    na = F.size("sh_a").cast("long")
+    nb = F.size("sh_b").cast("long")
+    return (F.lit(3) * inter >= na + nb) & (na >= 1) & (nb >= 1)
+
+
 def _shingle_join_sides(sh: DataFrame):
     """(sa, sb, inter, uni): the two aliased shingle-set join sides and
     the null-clamped integer Jaccard numerator/denominator columns
@@ -643,19 +658,23 @@ def dedup_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d).localCheckpoint()
     cand = _portable_lsh_cand(sh)
-    sa, sb, inter, uni = _shingle_join_sides(sh)
+    sa, sb, inter, _uni = _shingle_join_sides(sh)
+    # union-free verify (see _lsh_verify_cond) — the certificate stays
+    # independent of the exact arm (array_intersect here vs the count
+    # join there)
     lsh = (
         cand.join(sa, "a")
         .join(sb, "b")
-        .filter(F.lit(2) * inter >= uni)
+        .filter(_lsh_verify_cond(inter))
         .select("a", "b")
         .localCheckpoint()  # feeds the hit join AND the subset check
     )
+    # the exact arm reads (c, u) straight off the count/bitmap join —
+    # the previous two |pairs|-row shingle-array joins recomputed both
+    # via array_intersect/array_union (round-14 optimization; values
+    # bit-identical: distinct sets, integer arithmetic on both paths)
     exact = (
-        _exact_shingle_pairs(sh)
-        .join(sa, "a")
-        .join(sb, "b")
-        .select("a", "b", inter.alias("c"), uni.alias("u"))
+        _exact_shingle_pairs(sh, with_counts=True)
         .select("a", "b", F.expr("(10 * c) div u").alias("j_band"))
         .localCheckpoint()  # feeds the hit join AND the subset check
     )
@@ -796,11 +815,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("partner"),
         )
     )
-    sa, sb, inter, uni = _shingle_join_sides(sh)
+    sa, sb, inter, _uni = _shingle_join_sides(sh)
     ver = (
         oriented.join(sa, oriented.new_id == sa.a)
         .join(sb, oriented.partner == sb.b)
-        .filter(F.lit(2) * inter >= uni)
+        .filter(_lsh_verify_cond(inter))  # union-free J ≥ 1/2 verify
         .select("new_id", "partner")
     )
     agg = ver.groupBy("new_id").agg(
@@ -2005,11 +2024,11 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d).localCheckpoint()
     cand = _portable_lsh_cand(sh)
-    sa, sb, inter, uni = _shingle_join_sides(sh)
+    sa, sb, inter, _uni = _shingle_join_sides(sh)
     ver = (
         cand.join(sa, "a")
         .join(sb, "b")
-        .filter(F.lit(2) * inter >= uni)
+        .filter(_lsh_verify_cond(inter))  # union-free J ≥ 1/2 verify
         .select("a", "b")
     )
 

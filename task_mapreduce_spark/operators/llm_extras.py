@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -585,7 +585,17 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ``localCheckpoint`` truncates the growing lineage each round —
     without it, iteration N replays all N-1 predecessors.  Raises
     loudly if ``_CC_MAX_ITER`` rounds don't reach the fixpoint: a
-    silently-split component is worse than a failure."""
+    silently-split component is worse than a failure.
+
+    Convergence is read with ``Observation`` metrics (round-14
+    optimization): the changed-row count is an aggregate over the
+    round's OWN frame, collected by the listener during the
+    localCheckpoint job itself — the previous per-round ``count()``
+    was one extra blocking scheduler job per round (~0.3-0.5 s fixed
+    floor on a per-job-overhead-bound host) × 4-6 rounds × 4 consuming
+    keys.  The loop exit stays value-coupled: the metric is
+    ``sum(label != old_label)`` computed from the round's data in the
+    round's job, not scheduler telemetry."""
     spark = nodes.sparkSession
     par = spark.sparkContext.defaultParallelism
     edges = (
@@ -625,12 +635,27 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 F.col("label"), F.coalesce("nb_label", F.col("label"))
             ).alias("label"),
         )
+        jumping = it >= _CC_PJ_FROM
+        if not jumping:
+            # the changed count rides the checkpoint job itself (an
+            # Observation aggregate over the round's own rows) — the
+            # previous standalone count() was one extra job per round
+            obs = Observation()
+            merged = merged.observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ).alias("changed"),
+            )
         merged = merged.localCheckpoint()
-        if it >= _CC_PJ_FROM:
+        if jumping:
             # pointer jump on the post-hop labels: label ← label(label).
             # Self-join of the checkpointed frame (so the hop join above
             # is never recomputed), re-checkpointed to keep the lineage
-            # one round deep.
+            # one round deep.  The convergence observation rides THIS
+            # checkpoint (the round's final labels — jump-improved rows
+            # must count as changed or the delta push would skip them).
+            obs = Observation()
             merged = (
                 merged.join(
                     merged.select(
@@ -647,12 +672,19 @@ def _min_label_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                         F.col("label"), F.coalesce("j_label", F.col("label"))
                     ).alias("label"),
                 )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("old_label")).cast("long")
+                    ).alias("changed"),
+                )
                 .localCheckpoint()
             )
         changed_df = merged.filter(F.col("label") != F.col("old_label")).select(
             "doc_id", "label"
         )
-        changed = changed_df.count()
+        # sum() over zero rows is NULL — an empty node set is converged
+        changed = int(obs.get["changed"] or 0)
         labels = merged.select("doc_id", "label")
         if changed == 0:
             break

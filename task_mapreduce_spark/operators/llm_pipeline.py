@@ -177,26 +177,27 @@ def minhash_edges(
     )
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    # clamp inter to >= 0 and union to >= 1: on legacy-sizeOfNull
-    # builds size(NULL) is -1, and a NULL-shingle pair would verify at
-    # (-1)/(-1) = 1.0 while the exact certificate side drops those
-    # rows at its inner joins.  Clamped, the degenerate pair scores
-    # 0/1 = 0.0 and is dropped, keeping LSH ⊆ exact on every build
-    # (the sort_global guard's twin).  NaN would NOT work here: Spark
-    # orders NaN above every number, so 0/0 = NaN would PASS >= 0.5.
-    # Genuine pairs are unaffected — a real shingle union is never
+    # Union-free J ≥ 1/2 verify (round-14 optimization): for distinct
+    # shingle sets |A∪B| = n_a + n_b − |A∩B| exactly, so
+    # J ≥ _JACCARD_T (= 1/2) ⇔ 3·inter ≥ n_a + n_b — same decision,
+    # integer arithmetic, and no union ARRAY built per candidate pair.
+    # The clamps' job (legacy-sizeOfNull builds: size(NULL) is -1 and
+    # a NULL-shingle pair would verify at (-1)/(-1) = 1.0 while the
+    # exact certificate side drops those rows at its inner joins) is
+    # taken over by the n ≥ 1 guards: the degenerate pair fails n ≥ 1
+    # on legacy builds and NULL-compares on modern ones, keeping
+    # LSH ⊆ exact on every build (the sort_global guard's twin).
+    # Genuine pairs are unaffected — a real shingle set is never
     # smaller than 1.
     inter = F.greatest(
         F.size(F.array_intersect("sh_a", "sh_b")), F.lit(0)
-    ).cast("double")
-    union = F.greatest(
-        F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
-    ).cast("double")
+    ).cast("long")
+    na = F.size("sh_a").cast("long")
+    nb = F.size("sh_b").cast("long")
     return (
         cand.join(sa, "a")
         .join(sb, "b")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= _JACCARD_T)
+        .filter((F.lit(3) * inter >= na + nb) & (na >= 1) & (nb >= 1))
         .select("a", "b")
     )
 
@@ -205,12 +206,21 @@ _BITMAP_VOCAB_MAX = 4096  # dictionary-bitmap path while vocab fits 64 longs
 _BITMAP_BCAST_BYTES_MAX = 32 << 20  # packed-table broadcast budget (est.)
 
 
-def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
+def _exact_shingle_pairs(sh: DataFrame, with_counts: bool = False) -> DataFrame:
     """EXACT shingle-Jaccard ≥ _JACCARD_T edge list (a < b) — the
     ground-truth side of dedup_near_minhash's certificate.  J ≥ 1/2 is
     evaluated as the integer test 3·|A∩B| ≥ n_a + n_b; the integer
-    size bound 2·min ≥ max prunes pairs first.  The physical strategy
-    is picked from a vocabulary statistic, AQE-style:
+    size bound 2·min ≥ max prunes pairs first.  With
+    ``with_counts=True`` the output carries the exact intersection and
+    union sizes ``(a, b, c, u)`` both physical paths already hold in
+    hand (bitmap: popcount overlap; count join: the COUNT itself, with
+    u = n_a + n_b − c — exact for distinct shingle sets) — so a
+    consumer needing the exact Jaccard (dedup_eval_prf's J bands)
+    reads it here instead of re-joining the shingle arrays onto the
+    pair list and recomputing array_intersect/array_union per pair
+    (round-14 optimization: two |pairs|-row array joins removed).
+    The physical strategy is picked from a vocabulary statistic,
+    AQE-style:
 
     - SMALL VOCABULARY (≤ _BITMAP_VOCAB_MAX distinct shingles — true
       of the fixture corpus, whose synthetic vocabulary saturates near
@@ -312,6 +322,14 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
         # needs no co-partitioning, and every core gets an equal slice
         # of the bit-intersection work.
         par = sh.sparkSession.sparkContext.defaultParallelism
+        extra_bm = (
+            [
+                overlap.cast("long").alias("c"),
+                (F.col("n_a") + F.col("n_b") - overlap).cast("long").alias("u"),
+            ]
+            if with_counts
+            else []
+        )
         return (
             pa.repartition(par)
             .join(F.broadcast(pb), "jb")
@@ -320,10 +338,18 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
                 & (2 * F.least("n_a", "n_b") >= F.greatest("n_a", "n_b"))
             )
             .filter(3 * overlap >= F.col("n_a") + F.col("n_b"))
-            .select("a", "b")
+            .select("a", "b", *extra_bm)
         )
     a = tok.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"), "token")
     b = tok.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"), "token")
+    extra_cj = (
+        [
+            F.col("c").cast("long").alias("c"),
+            (F.col("n_a") + F.col("n_b") - F.col("c")).cast("long").alias("u"),
+        ]
+        if with_counts
+        else []
+    )
     return (
         a.join(b, "token")
         .filter(
@@ -333,7 +359,7 @@ def _exact_shingle_pairs(sh: DataFrame) -> DataFrame:
         .groupBy("a", "b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(3 * F.col("c") >= F.col("n_a") + F.col("n_b"))
-        .select("a", "b")
+        .select("a", "b", *extra_cj)
     )
 
 

@@ -610,12 +610,31 @@ def _merge_read_snapshot(spark, store: str, man: DataFrame, vers) -> DataFrame:
             F.lit(" outside them — stale version list at the call site"),
         )
     )
-    # every column raises, so the guard survives column pruning — a
-    # consumer that projects any subset of (k, val, p) still trips it
-    poison = man.filter(~F.col("ver").isin(vlist)).select(
-        alarm.cast("long").alias("k"),
-        alarm.cast("double").alias("val"),
-        alarm.cast("string").alias("p"),
+    # The alarm must survive BOTH prunings (round-13 advice):
+    # 1. COLUMN pruning: every projected column raises, so a consumer
+    #    that references any subset of (k, val, p) trips it — and a
+    #    consumer filter pushed below the union hits a non-foldable
+    #    raise_error expression instead of a statically-false literal
+    #    comparison (NULL-literal columns here would let PruneFilters +
+    #    PropagateEmptyRelation delete the whole branch for filtering
+    #    consumers).
+    # 2. FULL-projection pruning: a bare count() references no columns
+    #    at all, so the alarm ALSO guards the branch as a Filter
+    #    predicate — filter conditions are never column-pruned.  The
+    #    alarm is wrapped in when(~covered, ·) INSIDE the predicate so
+    #    that even if the optimizer merges/reorders it with the
+    #    membership filter it can never evaluate on a covered row.
+    trip = F.isnull(
+        F.when(~F.col("ver").isin(vlist), alarm.cast("string"))
+    )
+    poison = (
+        man.filter(~F.col("ver").isin(vlist))
+        .where(trip)
+        .select(
+            alarm.cast("long").alias("k"),
+            alarm.cast("double").alias("val"),
+            alarm.cast("string").alias("p"),
+        )
     )
     parts = [poison]
     for v in vlist:

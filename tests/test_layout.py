@@ -457,6 +457,17 @@ def test_merge_snapshot_stale_version_list_raises(spark, sf_dir):
     with pytest.raises(Exception, match="stale version list"):
         # pruned-column consumer (only p survives the projection)
         stale.groupBy("p").count().collect()
+    with pytest.raises(Exception, match="stale version list"):
+        # FULL-projection pruning (round-13 advice): a bare count()
+        # references no columns, so the projected raise_error columns
+        # alone are pruned away — the alarm must also live in a Filter
+        # predicate on the poison branch, which no pruning removes
+        stale.count()
+    with pytest.raises(Exception, match="stale version list"):
+        # pushed-down consumer filter: the predicate lands on the
+        # alarm-projected column (non-foldable), so the branch cannot
+        # be statically pruned to an empty relation
+        stale.filter(F.col("p") == "never").collect()
     # and the covered read still serves values with no poison rows
     ok = _merge_read_snapshot(spark, store, man2, [1, 2])
     assert ok.count() > 0
