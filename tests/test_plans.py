@@ -19,12 +19,35 @@ from pyspark.sql import functions as F
 from task_mapreduce_spark.registry import QUERIES
 
 
-def plan_of(spark, sf_dir, key: str, mode: str = "formatted") -> str:
-    df = QUERIES[key](spark, sf_dir)
+def explain_str(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+def plan_of(spark, sf_dir, key: str, mode: str = "formatted") -> str:
+    return explain_str(QUERIES[key](spark, sf_dir), mode)
+
+
+@pytest.fixture(scope="module")
+def all_dfs(spark, sf_dir):
+    """One CONSTRUCTED DataFrame per registered key (excl. the
+    streaming source, which has no batch plan).  Construction-side
+    jobs (eager checkpoints, gating aggregates, merge-store writes)
+    run here exactly once, overlapped on a small thread pool (the
+    Spark scheduler runs independent jobs concurrently — guide §2.6);
+    every all-key plan audit below explains these frames instead of
+    rebuilding all 193 queries per test (round 14: the three sweeps
+    each paid ~200 s of reconstruction at sf0.001; explains of an
+    already-built frame reuse its cached QueryExecution)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    keys = [k for k in sorted(QUERIES) if k != "stream_source"]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(
+            zip(keys, pool.map(lambda k: QUERIES[k](spark, sf_dir), keys))
+        )
 
 
 def _spark_at_least(spark, major: int, minor: int) -> bool:
@@ -117,15 +140,15 @@ def test_probe_side_broadcast_in_sim_search(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
-def test_no_python_udfs_in_relational_paths(spark, sf_dir):
+def test_no_python_udfs_in_relational_paths(all_dfs):
     # everything outside the declared UDF/multimodal keys must stay
     # JVM-side: no Python evals anywhere in the plan
     py_keys = {"udf_scalar_pandas", "udaf_grouped_agg", "udtf_flatmap",
                "stream_stateful", "multimodal_decode", "multimodal_frames",
                "multimodal_resize", "stream_source",
                "mr_word_count", "mr_grep", "mr_inverted_index"}
-    for key in sorted(set(QUERIES) - py_keys):
-        plan = plan_of(spark, sf_dir, key, mode="simple")
+    for key in sorted(set(all_dfs) - py_keys):
+        plan = explain_str(all_dfs[key], mode="simple")
         # two detectors: row-at-a-time UDFs print "Python"; vectorized
         # pandas operators print MapInPandas / FlatMapGroupsInPandas
         assert "Python" not in plan, f"{key} plans a Python eval:\n{plan}"
@@ -140,7 +163,7 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
     assert "yr" in pf_line
 
 
-def test_no_cartesian_anywhere(spark, sf_dir):
+def test_no_cartesian_anywhere(all_dfs):
     # a cartesian product anywhere is a 100 TB outage; a broadcast
     # nested-loop is acceptable ONLY where the broadcast side is a
     # handful of rows by construction:
@@ -201,8 +224,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "profile_drift_psi",    # 1-row ref-stats / category-count
         #                         crossJoins (metadata broadcasts)
     }
-    for key in sorted(set(QUERIES) - {"stream_source"}):
-        plan = plan_of(spark, sf_dir, key, mode="simple")
+    for key in sorted(all_dfs):
+        plan = explain_str(all_dfs[key], mode="simple")
         assert "CartesianProduct" not in plan, f"{key} plans a cartesian"
         if key not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, (
@@ -719,17 +742,14 @@ _BROADCAST_HINT_BUDGET = {
 
 
 @pytest.fixture(scope="module")
-def all_extended_plans(spark, sf_dir):
-    """One extended-mode explain per registered key (excl. the streaming
-    source, which has no batch plan).  Built once; both standing audits
-    below read from it.  Plan-build side jobs (BPE's argmax literals,
-    sort_global's boundaries) run here — ~80 s at sf0.001."""
-    plans = {}
-    for key in sorted(QUERIES):
-        if key == "stream_source":
-            continue
-        plans[key] = plan_of(spark, sf_dir, key, mode="extended")
-    return plans
+def all_extended_plans(all_dfs):
+    """One extended-mode explain per registered key, derived from the
+    shared ``all_dfs`` construction (plan-build side jobs — BPE's
+    argmax literals, sort_global's boundaries — already ran there).
+    Built once; both standing audits below read from it."""
+    return {
+        key: explain_str(df, mode="extended") for key, df in all_dfs.items()
+    }
 
 
 def _analyzed_section(plan: str) -> str:
